@@ -1,0 +1,164 @@
+"""Minimal HTML DOM with BeautifulSoup-compatible query/get_text semantics.
+
+The sandbox has no bs4, and the engine must reproduce the reference crawlers'
+extraction *byte-identically* (reference calls like
+``soup.find("div", class_="write_div").get_text(separator="\\n", strip=True)``,
+see /root/reference/app/crawler/politics/dcinside_politics.py:47-55). This
+module implements exactly the subset of bs4 behavior those call sites rely on,
+on top of stdlib ``html.parser``:
+
+- tree building with void elements and forgiving close-tag recovery
+- ``find`` / ``find_all`` by tag name, class (token match; whitespace-joined
+  exact match when the query itself contains spaces, mirroring bs4), id, and
+  arbitrary attributes (``itemprop=...``, ``style=...``)
+- ``get_text(separator, strip)``: document-order text nodes; when strip=True
+  each string is ``str.strip()``-ed and empties are dropped; joined by the
+  separator. Entity refs are decoded by html.parser (convert_charrefs).
+- ``find_parent(tag, attrs)`` for the mlbpark ad-div exclusion
+  (mlbpark_bullpen.py:64-68).
+
+Pure Python, no Spark imports — callable inside Arrow-batch pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+# HTML5 void elements — never pushed on the open-element stack.
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class Node:
+    """One element node. ``children`` holds Node and str (text) entries."""
+
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None, parent=None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []
+        self.parent = parent
+
+    # -- attribute helpers -------------------------------------------------
+    def get(self, name: str, default=None):
+        return self.attrs.get(name, default)
+
+    @property
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    # -- matching ----------------------------------------------------------
+    def _matches(self, tag, class_, id_, attrs) -> bool:
+        if tag is not None and self.tag != tag:
+            return False
+        if class_ is not None:
+            if " " in class_:
+                # bs4: a whitespace-containing class query compares against the
+                # full attribute string (theqoo "rd_body clear" case).
+                if self.attrs.get("class") != class_:
+                    return False
+            elif class_ not in self.classes:
+                return False
+        if id_ is not None and self.attrs.get("id") != id_:
+            return False
+        if attrs:
+            for k, v in attrs.items():
+                if self.attrs.get(k) != v:
+                    return False
+        return True
+
+    def _iter_desc(self):
+        """Yield descendant element nodes in document order (excluding self)."""
+        stack = list(reversed([c for c in self.children if isinstance(c, Node)]))
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(
+                reversed([c for c in node.children if isinstance(c, Node)])
+            )
+
+    def find(self, tag=None, class_=None, id=None, attrs=None, **kw):
+        if kw:  # allow itemprop="..." style keyword attrs like bs4
+            attrs = {**(attrs or {}), **kw}
+        for node in self._iter_desc():
+            if node._matches(tag, class_, id, attrs):
+                return node
+        return None
+
+    def find_all(self, tag=None, class_=None, id=None, attrs=None, **kw):
+        if kw:
+            attrs = {**(attrs or {}), **kw}
+        return [n for n in self._iter_desc() if n._matches(tag, class_, id, attrs)]
+
+    def find_parent(self, tag=None, class_=None, id=None, attrs=None, **kw):
+        if kw:
+            attrs = {**(attrs or {}), **kw}
+        node = self.parent
+        while node is not None:
+            if node.tag != "[document]" and node._matches(tag, class_, id, attrs):
+                return node
+            node = node.parent
+        return None
+
+    # -- text --------------------------------------------------------------
+    def _strings(self):
+        stack = list(reversed(self.children))
+        while stack:
+            c = stack.pop()
+            if isinstance(c, str):
+                yield c
+            else:
+                stack.extend(reversed(c.children))
+
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        if strip:
+            parts = [s.strip() for s in self._strings()]
+            parts = [s for s in parts if s]
+        else:
+            parts = list(self._strings())
+        return separator.join(parts)
+
+    @property
+    def text(self) -> str:
+        return self.get_text()
+
+    def __repr__(self):
+        return f"<Node {self.tag} {self.attrs}>"
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]")
+        self._stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs), parent=self._stack[-1])
+        self._stack[-1].children.append(node)
+        if tag not in _VOID:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        node = Node(tag, dict(attrs), parent=self._stack[-1])
+        self._stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        # forgiving recovery: pop to nearest matching open tag, else ignore
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def parse_html(text: str) -> Node:
+    """Parse an HTML string into a document Node (bs4 ``Soup(...)`` stand-in)."""
+    builder = _TreeBuilder()
+    builder.feed(text)
+    builder.close()
+    return builder.root
