@@ -1,0 +1,96 @@
+"""Board-list page parsing: HTML → candidate post rows (one UDF + explode).
+
+Mirrors the reference's per-site list-row loops (e.g.
+fmkorea_politics.py:171-260): each ``<tr>`` yields raw string fields; all
+normalization (date cascade L1-L3, views L4, recommend L5, notice filter F2,
+validity gate F1, threshold F3, freshness F4) happens afterwards in JVM-side
+expressions so Catalyst can push/prune/codegen them.
+
+The UDF emits raw strings only — "parse once, normalize declaratively".
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..parsers.dom import parse_html
+
+LIST_ROW = T.StructType(
+    [
+        T.StructField("post_no", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("writer", T.StringType()),
+        T.StructField("date_txt", T.StringType()),
+        T.StructField("date_attr", T.StringType()),
+        T.StructField("views_txt", T.StringType()),
+        T.StructField("rec_txt", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("is_notice", T.BooleanType()),
+        T.StructField("row_idx", T.IntegerType()),
+    ]
+)
+
+
+def _parse_one(html: bytes | None, encoding: str) -> list[dict]:
+    if html is None:
+        return []
+    try:
+        soup = parse_html(html.decode(encoding or "utf-8", errors="replace"))
+    except Exception:
+        return []
+    table = soup.find("table", class_="board_list")
+    if table is None:
+        return []
+    out = []
+    for i, tr in enumerate(table.find_all("tr")):
+        def cell(cls):
+            td = tr.find("td", class_=cls)
+            return td if td is not None else None
+
+        a = tr.find("a")
+        num = cell("num")
+        date_td = cell("date")
+        views_td = cell("views")
+        rec_td = cell("rec")
+        cat_td = cell("cat")
+        writer_td = cell("writer")
+        out.append(
+            {
+                "post_no": num.get_text(strip=True) if num else "",
+                "title": a.get_text(strip=True) if a else "",
+                "href": a.get("href") if a else None,
+                "writer": writer_td.get_text(strip=True) if writer_td else "",
+                "date_txt": date_td.get_text(strip=True) if date_td else "",
+                "date_attr": (date_td.get("title") or "") if date_td else "",
+                "views_txt": views_td.get_text(strip=True) if views_td else "",
+                "rec_txt": rec_td.get_text(strip=True) if rec_td else "",
+                "category": cat_td.get_text(strip=True) if cat_td else "",
+                "is_notice": "notice" in tr.classes
+                or (num.get_text(strip=True) in ("공지", "설문", "이벤트") if num else False),
+                "row_idx": i,
+            }
+        )
+    return out
+
+
+@pandas_udf(T.ArrayType(LIST_ROW))
+def parse_list_udf(html: pd.Series, encoding: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_parse_one(h, e) for h, e in zip(html, encoding)]
+    )
+
+
+def parse_list_pages(list_df: DataFrame) -> DataFrame:
+    """Explode list pages into candidate rows. Expects columns:
+    url, html, encoding (from site_config), plus any passthrough columns."""
+    rows = list_df.withColumn(
+        "row", F.explode(parse_list_udf(F.col("html"), F.col("encoding")))
+    )
+    return rows.select(
+        *[c for c in list_df.columns if c != "html"], "row.*"
+    )

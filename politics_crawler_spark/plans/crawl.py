@@ -1,0 +1,336 @@
+"""The crawl plan: depth-round driver loop over the pages snapshot.
+
+One round = one frontier depth slice (list page ``p`` of every still-active
+board), mirroring the reference's per-site page loop
+(fmkorea_politics.py:119-274) but partition-parallel across all boards at
+once:
+
+    list frontier (tiny, broadcast) ⋈ pages            -- "fetch", no shuffle of pages
+      → parse_list_udf → explode                       -- candidate rows
+      → F1 validity / F2 notice / L1-L5 normalize      -- JVM exprs, codegen
+      → per-board aggregate → driver staleness state   -- P9 early-stop
+      → F3 min_views / F4 today                        -- JVM exprs
+      → in-round dedup + bloom seen-filter             -- D1/D2 (sharded)
+      → salted repartition by host                     -- politeness / skew
+      → candidates ⋈ pages → extract_udf               -- "detail fetch"
+      → F5 detail-date / F6 status                     -- JVM exprs
+      → extracted rows (append) + seen update + checkpoint commit
+
+Catalyst does the heavy lifting inside a round (filter pushdown before the
+extract UDF, broadcast joins for the tiny frontier); the loop exists only
+because staleness stop (P9) is data-dependent iteration, which Catalyst
+doesn't model (SURVEY.md §4).
+
+Checkpointing: with ``checkpoint_dir`` set, each round commits (extracted
+parquet, seen parquet, state.json with per-board lineage + counters)
+atomically via write-then-rename, and ``run_crawl`` resumes from the last
+committed round after a kill (north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import ENABLED_BOARDS, RUN_DATE, BoardConfig
+from ..functions.dates import is_today, parse_list_date
+from ..functions.numbers import parse_recommend, parse_views
+from ..functions.urls import canonical_url, is_valid_post_url, url_hash
+from ..operators.extract import with_extraction
+from ..operators.listparse import parse_list_pages
+from ..schemas import EXTRACTED
+from ..sources.synthetic_pages import list_url
+from . import seen as seen_mod
+from .politeness import salted_repartition_by_host
+
+_CHECK_DETAIL_DATE_SITES = ("ruliweb", "inven")  # F5 boards (+ fmkorea_funny)
+
+
+def _checks_detail_date(b: BoardConfig) -> bool:
+    return b.site in _CHECK_DETAIL_DATE_SITES or b.board == "fmkorea_funny"
+
+
+@dataclass
+class BoardState:
+    page_no: int = 0
+    stale: int = 0
+    active: bool = True
+
+
+@dataclass
+class CrawlResult:
+    extracted: DataFrame
+    metrics: list[dict] = field(default_factory=list)
+    rounds: int = 0
+    seen: DataFrame | None = None
+
+
+def _board_frontier_rows(boards: list[BoardConfig], state: dict[str, BoardState]) -> list[dict]:
+    rows = []
+    for b in boards:
+        st = state[b.board]
+        if not st.active:
+            continue
+        rows.append(
+            {
+                "url": list_url(b, st.page_no),
+                "board": b.board,
+                "community": b.community,
+                "site": b.site,
+                "host": b.host,
+                "encoding": b.encoding,
+                "min_views": b.min_views,
+                "site_rank": b.site_rank,
+                "page_no": st.page_no,
+                "check_detail_date": _checks_detail_date(b),
+            }
+        )
+    return rows
+
+
+_FRONTIER_SCHEMA = (
+    "url string, board string, community string, site string, host string, "
+    "encoding string, min_views long, site_rank int, page_no int, "
+    "check_detail_date boolean"
+)
+
+
+def _empty_extracted(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], schema=EXTRACTED)
+
+
+def _commit_round(checkpoint_dir: str, rnd: int, extracted: DataFrame,
+                  seen: DataFrame, state: dict[str, BoardState],
+                  metrics: list[dict]) -> None:
+    """Write round artifacts, then atomically publish state.json."""
+    extracted.write.mode("overwrite").parquet(
+        os.path.join(checkpoint_dir, f"extracted/round={rnd}")
+    )
+    seen.write.mode("overwrite").parquet(
+        os.path.join(checkpoint_dir, f"seen/v{rnd}")
+    )
+    tmp = os.path.join(checkpoint_dir, "state.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "round": rnd,
+                "boards": {
+                    k: {"page_no": s.page_no, "stale": s.stale, "active": s.active}
+                    for k, s in state.items()
+                },
+                "metrics": metrics,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(checkpoint_dir, "state.json"))
+
+
+def load_checkpoint(checkpoint_dir: str):
+    path = os.path.join(checkpoint_dir, "state.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    run_date: str = RUN_DATE,
+    boards: list[BoardConfig] | None = None,
+    n_shards: int = 16,
+    use_bloom: bool = True,
+    max_rounds: int | None = None,
+    max_seconds: float | None = None,
+    host_target_rows: int = 5000,
+    checkpoint_dir: str | None = None,
+) -> CrawlResult:
+    boards = boards or ENABLED_BOARDS
+    by_name = {b.board: b for b in boards}
+    state = {b.board: BoardState() for b in boards}
+    metrics: list[dict] = []
+    seen = seen_mod.empty_seen(spark, n_shards).localCheckpoint(eager=True)
+    extracted_parts: list[DataFrame] = []
+    start_round = 0
+
+    # resume path
+    if checkpoint_dir:
+        ckpt = load_checkpoint(checkpoint_dir)
+        if ckpt is not None:
+            start_round = ckpt["round"] + 1
+            for k, s in ckpt["boards"].items():
+                if k in state:
+                    state[k] = BoardState(s["page_no"], s["stale"], s["active"])
+            metrics = list(ckpt["metrics"])
+            seen = spark.read.parquet(
+                os.path.join(checkpoint_dir, f"seen/v{ckpt['round']}")
+            ).localCheckpoint(eager=True)
+            extracted_parts.append(
+                spark.read.schema(EXTRACTED).parquet(
+                    os.path.join(checkpoint_dir, "extracted")
+                )
+            )
+
+    pages_slim = pages.select("url", "html", "warc_ts")
+    t0 = time.time()
+    rnd = start_round
+    total_rounds = max_rounds if max_rounds is not None else max(
+        b.max_pages for b in boards
+    )
+
+    while rnd < total_rounds and any(s.active for s in state.values()):
+        if max_seconds is not None and time.time() - t0 > max_seconds:
+            break  # P7 wall-clock budget; state stays resumable
+        round_t0 = time.time()
+
+        rows = _board_frontier_rows(boards, state)
+        if not rows:
+            break
+        frontier = spark.createDataFrame(rows, schema=_FRONTIER_SCHEMA)
+
+        # "fetch" list pages: broadcast tiny frontier against the pages scan
+        lists = F.broadcast(frontier).join(pages_slim, on="url", how="inner")
+
+        cand_raw = parse_list_pages(lists.drop("warc_ts"))
+        cand = (
+            cand_raw.filter(~F.col("is_notice"))  # F2
+            .withColumn("link", canonical_url(F.col("url"), F.col("href")))
+            .filter(is_valid_post_url(F.col("link")))  # F1
+            .withColumn("date", parse_list_date(F.col("date_txt"), F.col("date_attr"), run_date))
+            .withColumn("views", parse_views(F.col("views_txt")))
+            .withColumn("list_recommend", parse_recommend(F.col("rec_txt")))
+            .withColumn("today", is_today(F.col("date"), run_date))
+        ).persist()
+
+        # per-board stats → driver staleness/budget state (P9); ≤ one row/board
+        stats = {
+            r["board"]: r
+            for r in cand.groupBy("board")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("today").cast("long")).alias("n_today"),
+                F.sum(
+                    (F.col("today") & (F.col("views") >= F.col("min_views"))).cast("long")
+                ).alias("n_cand"),
+            )
+            .collect()
+        }
+
+        # candidates surviving freshness + threshold, deduped in-round (D1/D2)
+        selected = (
+            cand.filter(F.col("today") & (F.col("views") >= F.col("min_views")))
+            .withColumn("url_hash", url_hash(F.col("link")))
+            .dropDuplicates(["url_hash"])
+        )
+
+        if use_bloom:
+            unseen = seen_mod.filter_unseen(selected, seen, n_shards)
+        else:
+            unseen = selected
+
+        # detail "fetch" + extraction, politeness-partitioned by host
+        detail = (
+            unseen.drop("url")
+            .withColumnRenamed("link", "url")
+            .join(pages_slim.withColumnRenamed("warc_ts", "page_warc_ts"), on="url", how="inner")
+        )
+        detail = salted_repartition_by_host(
+            detail, host_col="host", url_col="url", target_rows_per_task=host_target_rows
+        )
+        ext = with_extraction(detail)
+
+        # F5: boards with authoritative detail dates drop non-today posts
+        ext = ext.filter(
+            ~F.col("check_detail_date")
+            | F.col("actual_date").isNull()
+            | is_today(F.col("actual_date"), run_date)
+        )
+        # F6: sentinel/error statuses out
+        ext = ext.filter(F.col("status") == "ok")
+
+        out = ext.select(
+            F.col("url"),
+            F.col("community"),
+            F.when(F.col("post_no") != "", F.col("post_no")).otherwise(
+                F.lit("N/A")
+            ).alias("post_id"),
+            F.col("category"),
+            # L8: dcinside strips its "[category]" title prefix
+            F.when(
+                F.col("site") == "dcinside",
+                F.trim(F.expr("replace(title, concat('[', category, ']'), '')")),
+            ).otherwise(F.col("title")).alias("title"),
+            F.col("url").alias("link"),
+            F.col("writer"),
+            F.coalesce(F.col("actual_date"), F.col("date")).alias("date"),
+            F.col("views"),
+            F.coalesce(
+                F.col("recommend_raw").try_cast("long"), F.col("list_recommend")
+            ).alias("recommend"),
+            F.lit(None).cast("long").alias("comments"),
+            F.col("content"),
+            F.col("images"),
+            F.col("status"),
+        ).persist()
+
+        n_extracted_by_board = {
+            r["community"]: r["n"]
+            for r in out.groupBy("community").agg(F.count("*").alias("n")).collect()
+        }
+        n_extracted = sum(n_extracted_by_board.values())
+        extracted_parts.append(out)
+
+        # D1: mark seen after successful extraction (fmkorea_politics.py:284),
+        # plus the list-page URLs themselves
+        new_keys = ext.select("url_hash").unionByName(
+            frontier.select(url_hash(F.col("url")).alias("url_hash"))
+        )
+        seen = seen_mod.update_seen(seen, new_keys, n_shards).localCheckpoint(
+            eager=True
+        )
+        cand.unpersist()
+
+        # driver state update (P8 page budget, P9 consecutive-staleness stop)
+        for name, st in state.items():
+            if not st.active:
+                continue
+            b = by_name[name]
+            row = stats.get(name)
+            n_today = int(row["n_today"]) if row and row["n_today"] is not None else 0
+            if n_today == 0:
+                st.stale += 1
+            else:
+                st.stale = 0
+            st.page_no += 1
+            if st.stale >= b.stop_n or st.page_no >= b.max_pages:
+                st.active = False
+
+        metrics.append(
+            {
+                "round": rnd,
+                "list_pages": len(rows),
+                "candidates": sum(int(r["n_cand"] or 0) for r in stats.values()),
+                "extracted": n_extracted,
+                "wall_ms": int((time.time() - round_t0) * 1000),
+            }
+        )
+
+        if checkpoint_dir:
+            _commit_round(checkpoint_dir, rnd, out, seen, state, metrics)
+        rnd += 1
+
+    if extracted_parts:
+        result = extracted_parts[0]
+        for part in extracted_parts[1:]:
+            result = result.unionByName(part)
+    else:
+        result = _empty_extracted(spark)
+
+    # A1: reference's final sort (Date desc); deterministic tiebreak on url
+    result = result.orderBy(F.col("date").desc(), F.col("url").asc())
+    return CrawlResult(extracted=result, metrics=metrics, rounds=rnd, seen=seen)

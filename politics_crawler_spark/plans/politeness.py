@@ -1,0 +1,91 @@
+"""Politeness / scheduling operators (SURVEY.md §2.5, north_rule).
+
+The reference's sleeps (P3-P5) serialize one site at ~0.1-0.3 posts/s.
+Partition-parallel politeness instead means:
+
+- **salted repartition by host with skew splitting** — every host's fetches
+  land in its own task(s); a mega-host (dcinside holds ~50% of synthetic
+  rows) is split across ``ceil(count/target)`` salted partitions so it can't
+  straggle the stage, while per-host budget accounting stays keyed by the
+  true host.
+- **per-host quota** (P8 page budgets as data): ``row_number() over
+  (partition by host order by priority) <= quota``.
+- **priority ordering** (north_rule): ``(depth asc, freshness desc,
+  quota_rank asc)`` + deterministic tiebreaks ``(site_rank, page_no,
+  row_idx)`` reproducing the reference's serial crawl order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def salted_repartition_by_host(
+    df: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    target_rows_per_task: int = 5000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition fetch candidates by (host, salt).
+
+    Salt factor is data-driven: one cheap ``groupBy(host).count()`` pre-pass
+    (tiny result — one row per distinct host) broadcast back onto the rows.
+    Hosts under the target keep salt_n=1 (stable single-task politeness);
+    mega-hosts split into ``ceil(count/target)`` sub-partitions.
+    """
+    counts = (
+        df.groupBy(host_col)
+        .count()
+        .withColumn(
+            "salt_n",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("count") / F.lit(target_rows_per_task))
+            ).cast("int"),
+        )
+        .drop("count")
+    )
+    salted = (
+        df.join(F.broadcast(counts), on=host_col)
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col(url_col)), F.col("salt_n")))
+        .drop("salt_n")
+    )
+    key = F.concat_ws("#", F.col(host_col), F.col("_salt"))
+    if num_partitions:
+        out = salted.repartition(num_partitions, key)
+    else:
+        out = salted.repartition(key)
+    return out.drop("_salt")
+
+
+def apply_host_quota(
+    df: DataFrame,
+    quota: int,
+    host_col: str = "host",
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per host, best-priority first (P8/A3)."""
+    order = order_cols or [
+        F.col("depth").asc(),
+        F.col("warc_ts").desc(),
+        F.col("url").asc(),
+    ]
+    w = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def priority_sort(frontier: DataFrame) -> DataFrame:
+    """Deterministic frontier priority: (depth, freshness desc, site_rank,
+    page_no, row_idx) — north_rule's priority queue as a total order."""
+    return frontier.orderBy(
+        F.col("depth").asc(),
+        F.col("warc_ts").desc_nulls_last(),
+        F.col("site_rank").asc(),
+        F.col("page_no").asc(),
+        F.col("row_idx").asc(),
+    )

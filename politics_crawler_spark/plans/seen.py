@@ -1,0 +1,112 @@
+"""Distributed URL-seen filter over sharded blooms (D1/D2 at scale).
+
+The reference keeps an in-memory ``processed_links = set()`` per run
+(fmkorea_politics.py:113,223-225,284). At a 10^10-URL frontier that set is a
+partitioned, versioned structure instead:
+
+- candidates get ``shard_id = pmod(url_hash, n_shards)``
+- ``applyInPandas`` per shard loads that shard's bloom bytes (shipped in via
+  a same-key join against the ``seen`` table — one shard row per group, no
+  broadcast of the whole filter), marks members, emits survivors
+- after a round commits, new keys fold into fresh shard versions
+  (copy-on-write; monotonically increasing ``version``)
+
+An exact-set path (``left_anti`` on ``url_hash`` against a plain hash table)
+backs the correctness tests: bloom survivors ⊆ exact survivors and the
+difference is bounded by the configured FPR.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import SEEN
+from .bloom import BloomShard
+
+DEFAULT_SHARDS = 64
+DEFAULT_KEYS_PER_SHARD = 1 << 17  # sized generously for sandbox scales
+DEFAULT_FPR = 0.001
+
+
+def empty_seen(spark: SparkSession, n_shards: int = DEFAULT_SHARDS) -> DataFrame:
+    shard = BloomShard.sized_for(DEFAULT_KEYS_PER_SHARD, DEFAULT_FPR)
+    rows = [
+        {"shard_id": i, "version": 0, "bloom": shard.to_bytes(), "n_keys": 0}
+        for i in range(n_shards)
+    ]
+    return spark.createDataFrame(rows, schema=SEEN)
+
+
+def with_shard(df: DataFrame, n_shards: int, hash_col: str = "url_hash") -> DataFrame:
+    return df.withColumn("shard_id", F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int"))
+
+
+def filter_unseen(candidates: DataFrame, seen: DataFrame, n_shards: int) -> DataFrame:
+    """Drop candidates whose url_hash is (probably) already seen.
+
+    Plan shape: shuffle candidates once on shard_id, co-group with the one
+    matching seen row per shard, run the vectorized bloom probe inside the
+    group. No global broadcast, no driver collect.
+    """
+    cand = with_shard(candidates, n_shards)
+    out_schema = candidates.schema
+
+    def _probe(cand_pdf, seen_pdf):
+        if len(cand_pdf) == 0:
+            return cand_pdf.drop(columns=["shard_id"])
+        if len(seen_pdf) == 0:
+            return cand_pdf.drop(columns=["shard_id"])
+        shard = BloomShard.from_bytes(seen_pdf["bloom"].iloc[0])
+        mask = shard.contains(cand_pdf["url_hash"].to_numpy(dtype=np.int64))
+        return cand_pdf.loc[~mask].drop(columns=["shard_id"])
+
+    return (
+        cand.groupBy("shard_id")
+        .cogroup(seen.groupBy("shard_id"))
+        .applyInPandas(_probe, schema=out_schema)
+    )
+
+
+def update_seen(seen: DataFrame, new_keys: DataFrame, n_shards: int) -> DataFrame:
+    """Fold new url_hash keys into the blooms → next seen version.
+
+    Copy-on-write: every shard row is re-emitted (touched shards with new
+    bytes and version+1, untouched shards unchanged), so the result is a
+    complete standalone snapshot suitable for checkpoint commit.
+    """
+    keys = with_shard(new_keys.select("url_hash"), n_shards)
+
+    def _fold(key, seen_pdf, keys_pdf):
+        if len(seen_pdf) == 0:  # shard never initialized (shouldn't happen)
+            shard = BloomShard.sized_for(DEFAULT_KEYS_PER_SHARD, DEFAULT_FPR)
+            version = 0
+        else:
+            shard = BloomShard.from_bytes(seen_pdf["bloom"].iloc[0])
+            version = int(seen_pdf["version"].iloc[0])
+        if len(keys_pdf) == 0:
+            return seen_pdf
+        shard.add(keys_pdf["url_hash"].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            [
+                {
+                    "shard_id": int(key[0]),
+                    "version": version + 1,
+                    "bloom": shard.to_bytes(),
+                    "n_keys": shard.n_keys,
+                }
+            ]
+        )
+
+    return (
+        seen.groupBy("shard_id")
+        .cogroup(keys.groupBy("shard_id"))
+        .applyInPandas(_fold, schema=SEEN)
+    )
+
+
+def filter_unseen_exact(candidates: DataFrame, seen_exact: DataFrame) -> DataFrame:
+    """Exact-set verification path: left-anti join on url_hash."""
+    return candidates.join(seen_exact.select("url_hash"), on="url_hash", how="left_anti")
