@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl pipeline (frontier → politeness →
+bloom seen-filter → extraction) over a deterministically synthesized pages
+snapshot (BASELINE.json: the pages table is synthesized at small scale — the
+driver's sf directories carry the relational/training-data tables, which the
+``queries()`` registry exercises against DuckDB oracles).
+
+Numeric-compare convention: double aggregations go through
+``cast(... as decimal(18,2))`` BEFORE summing in BOTH engines — decimal sums
+are exact and order-insensitive, so Spark's partial aggregation and DuckDB's
+serial sum produce bit-identical results; the final value is cast back to
+double for a stable comparable type.
 """
 
 from __future__ import annotations
@@ -12,27 +18,432 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full crawl engine on a synthetic pages snapshot."""
+    from politics_crawler_spark.plans.crawl import run_crawl
+    from politics_crawler_spark.sources.synthetic_pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 1500).cache()
+    res = run_crawl(spark, pages, n_shards=8)
+    return res.extracted
+
+
+# --------------------------------------------------------------------------
+# queries (operator registry) + DuckDB oracles
+# --------------------------------------------------------------------------
+
+def q01_filter_project(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_returnflag") == "N")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                4,
+            ).alias("net_price"),
+        )
+    )
+
+
+def q02_agg_lineitem(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q03_join_agg(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q04_topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+def q05_sort_limit(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.orderBy(F.col("ts").desc(), F.col("event_id").asc())
+        .select("event_id", "ts", "user_id", "event_type")
+        .limit(100)
+    )
+
+
+def q06_latest_per_user(spark, sf):
+    """Upsert/D3 semantics: latest event per user (window dedup)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def q07_exact_dedup(spark, sf):
+    from politics_crawler_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents")).select(
+        "doc_id", "dup_count"
+    )
+
+
+def q08_token_count(spark, sf):
+    from politics_crawler_spark.operators.textstats import n_chars, token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        n_chars(F.col("text")).alias("len_chars"),
+    )
+
+
+def q09_quality(spark, sf):
+    from politics_crawler_spark.operators.textstats import punct_ratio, stopword_ratio
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio"),
+    )
+
+
+def q10_lang_id(spark, sf):
+    from politics_crawler_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def q11_fingerprint_dups(spark, sf):
+    from politics_crawler_spark.operators.textstats import fingerprint
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("rep_id"))
+        .filter(F.col("n") > 1)
+        .select("fp", "n", "rep_id")
+    )
+
+
+def q12_null_community_normalize(spark, sf):
+    """K4+K5: null-token normalization and community-code regex rules."""
+    d = _t(spark, sf, "documents")
+    code = F.regexp_extract(F.col("lang"), r"^([a-z]+)$", 1)
+    return d.select(
+        "doc_id",
+        F.when(F.col("source").isin("nan", "NaN", "None"), None)
+        .otherwise(F.col("source"))
+        .alias("source_norm"),
+        F.when(code == "", None).otherwise(F.concat(code, F.lit("p"))).alias("lang_code"),
+    )
+
+
+def q13_hourly_rollup(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q14_ann_cosine(spark, sf):
+    from politics_crawler_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+def q15_minhash_pairs(spark, sf):
+    from politics_crawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf, "documents")
+    sigs = minhash_signatures(d)
+    return lsh_candidate_pairs(sigs, est_threshold=0.4).orderBy("id_a", "id_b")
+
+
+def q16_simhash_clusters(spark, sf):
+    """SimHash near-dup clustering: docs sharing an identical 64-bit
+    signature collapse to one representative (hamming-0 clusters; banded
+    pairs for hamming>0 are available via operators.dedup.simhash_pairs)."""
+    from politics_crawler_spark.operators.dedup import make_simhash_udf
+
+    d = _t(spark, sf, "documents")
+    udf = make_simhash_udf()
+    sigs = d.select("doc_id", udf(F.col("text")).alias("simhash"))
+    w = Window.partitionBy("simhash")
+    return sigs.select(
+        "doc_id",
+        "simhash",
+        F.min("doc_id").over(w).alias("cluster_rep"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+
+
+def q17_lsh_ann(spark, sf):
+    from politics_crawler_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, dim=dim, k=10, bits=6, tables=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q18_crawl_flagship(spark, sf):
+    from politics_crawler_spark.plans.crawl import run_crawl
+    from politics_crawler_spark.sources.synthetic_pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 1500)
+    return run_crawl(spark, pages, n_shards=8).extracted
+
+
+def q19_extract_fullscan(spark, sf):
+    """Full-scan extraction over every detail page (no frontier), checking
+    the E1-E11 UDF against the snapshot's ground-truth text column."""
+    from politics_crawler_spark.operators.extract import site_expr, with_extraction
+    from politics_crawler_spark.sources.synthetic_pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 1500).filter(F.col("text") != "")
+    pages = pages.withColumn(
+        "site", site_expr(F.parse_url(F.col("url"), F.lit("HOST")))
+    )
+    out = with_extraction(pages)
+    return out.select(
+        "url",
+        (F.col("content") == F.col("text")).alias("byte_identical"),
+        "status",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_filter_project": q01_filter_project,
+        "q02_agg_lineitem": q02_agg_lineitem,
+        "q03_join_agg": q03_join_agg,
+        "q04_topk_per_group": q04_topk_per_group,
+        "q05_sort_limit": q05_sort_limit,
+        "q06_latest_per_user": q06_latest_per_user,
+        "q07_exact_dedup": q07_exact_dedup,
+        "q08_token_count": q08_token_count,
+        "q09_quality": q09_quality,
+        "q10_lang_id": q10_lang_id,
+        "q11_fingerprint_dups": q11_fingerprint_dups,
+        "q12_null_community_normalize": q12_null_community_normalize,
+        "q13_hourly_rollup": q13_hourly_rollup,
+        "q14_ann_cosine": q14_ann_cosine,
+        "q15_minhash_pairs": q15_minhash_pairs,
+        "q16_simhash_clusters": q16_simhash_clusters,
+        "q17_lsh_ann": q17_lsh_ann,
+        "q18_crawl_flagship": q18_crawl_flagship,
+        "q19_extract_fullscan": q19_extract_fullscan,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = "(the|and|of|to|a|in|is|it)"
+_ES = "(el|la|de|que|y|en)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   round(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS net_price
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_returnflag = 'N'
+        """,
+        "q02_agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q03_join_agg": """
+            SELECT n_name, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q04_topk_per_group": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            ) WHERE rk <= 3 ORDER BY c_mktsegment, rk
+        """,
+        "q05_sort_limit": """
+            SELECT event_id, ts, user_id, event_type
+            FROM events ORDER BY ts DESC, event_id ASC LIMIT 100
+        """,
+        "q06_latest_per_user": """
+            SELECT user_id, event_id, ts, event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "q07_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "q08_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS len_chars
+            FROM documents
+        """,
+        "q09_quality": r"""
+            SELECT doc_id,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                              / CAST(length(text) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN len(regexp_extract_all(text, '\w+')) > 0
+                         THEN len(regexp_extract_all(lower(text), '\b%EN%\b'))
+                              / CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS stop_ratio
+            FROM documents
+        """.replace("%EN%", _EN),
+        "q10_lang_id": r"""
+            SELECT pred_lang, count(*) AS n_docs FROM (
+                SELECT CASE
+                    WHEN len(regexp_extract_all(lower(text), '\b%EN%\b')) = 0
+                     AND len(regexp_extract_all(lower(text), '\b%ES%\b')) = 0 THEN 'unknown'
+                    WHEN len(regexp_extract_all(lower(text), '\b%EN%\b'))
+                      >= len(regexp_extract_all(lower(text), '\b%ES%\b')) THEN 'en'
+                    ELSE 'es' END AS pred_lang
+                FROM documents
+            ) GROUP BY pred_lang ORDER BY pred_lang
+        """.replace("%EN%", _EN).replace("%ES%", _ES),
+        "q11_fingerprint_dups": r"""
+            SELECT fp, n, rep_id FROM (
+                SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+                       count(*) AS n, min(doc_id) AS rep_id
+                FROM documents
+                GROUP BY 1
+            ) WHERE n > 1
+        """,
+        "q12_null_community_normalize": """
+            SELECT doc_id,
+                   CASE WHEN source IN ('nan','NaN','None') THEN NULL ELSE source END AS source_norm,
+                   CASE WHEN regexp_extract(lang, '^([a-z]+)$', 1) = '' THEN NULL
+                        ELSE regexp_extract(lang, '^([a-z]+)$', 1) || 'p' END AS lang_code
+            FROM documents
+        """,
+        "q13_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "q14_ann_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            pairs AS (
+                SELECT q.query_id, v.vec_id AS neighbor_id,
+                       round(
+                         list_sum(list_transform(range(1, len(qv)+1),
+                                  i -> CAST(qv[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+                                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(range(1, len(v.embedding)+1),
+                                  i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))))
+                       , 4) AS sim
+                FROM embeddings v, q WHERE v.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, sim, rk AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id ASC) AS rk
+                FROM pairs
+            ) WHERE rk <= 10 ORDER BY query_id, rank
+        """,
+    }

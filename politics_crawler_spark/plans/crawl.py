@@ -149,6 +149,7 @@ def run_crawl(
     max_seconds: float | None = None,
     host_target_rows: int = 5000,
     checkpoint_dir: str | None = None,
+    keep_lineage: bool = False,
 ) -> CrawlResult:
     boards = boards or ENABLED_BOARDS
     by_name = {b.board: b for b in boards}
@@ -170,11 +171,8 @@ def run_crawl(
             seen = spark.read.parquet(
                 os.path.join(checkpoint_dir, f"seen/v{ckpt['round']}")
             ).localCheckpoint(eager=True)
-            extracted_parts.append(
-                spark.read.schema(EXTRACTED).parquet(
-                    os.path.join(checkpoint_dir, "extracted")
-                )
-            )
+            prev = spark.read.parquet(os.path.join(checkpoint_dir, "extracted"))
+            extracted_parts.append(prev.select(*EXTRACTED.fieldNames()))
 
     pages_slim = pages.select("url", "html", "warc_ts")
     t0 = time.time()
@@ -276,18 +274,20 @@ def run_crawl(
             F.col("content"),
             F.col("images"),
             F.col("status"),
+            *(
+                [F.col("site_rank"), F.col("page_no"), F.col("row_idx"), F.col("board")]
+                if keep_lineage
+                else []
+            ),
         ).persist()
 
-        n_extracted_by_board = {
-            r["community"]: r["n"]
-            for r in out.groupBy("community").agg(F.count("*").alias("n")).collect()
-        }
-        n_extracted = sum(n_extracted_by_board.values())
+        n_extracted = out.count()  # materializes the persisted round output
         extracted_parts.append(out)
 
         # D1: mark seen after successful extraction (fmkorea_politics.py:284),
-        # plus the list-page URLs themselves
-        new_keys = ext.select("url_hash").unionByName(
+        # plus the list-page URLs themselves. Derived from the PERSISTED
+        # round output so the extract UDF doesn't run twice.
+        new_keys = out.select(url_hash(F.col("url")).alias("url_hash")).unionByName(
             frontier.select(url_hash(F.col("url")).alias("url_hash"))
         )
         seen = seen_mod.update_seen(seen, new_keys, n_shards).localCheckpoint(

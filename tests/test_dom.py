@@ -1,0 +1,56 @@
+"""DOM module unit tests — pin the bs4-compatible semantics we rely on."""
+
+from politics_crawler_spark.parsers.dom import parse_html
+
+
+def test_get_text_separator_strip():
+    soup = parse_html("<div><p> a </p><p>b<b>c</b></p><p>  </p></div>")
+    div = soup.find("div")
+    assert div.get_text(separator="\n", strip=True) == "a\nb\nc"
+
+
+def test_get_text_no_strip_concat():
+    soup = parse_html("<p>a<b>b</b> c</p>")
+    assert soup.find("p").get_text(strip=True) == "ab" + "c"  # 'a','b',' c'→strip
+
+
+def test_entities_decoded():
+    soup = parse_html("<p>&amp;lt; &nbsp;&quot;</p>")
+    assert soup.find("p").text == '&lt; \xa0"'
+
+
+def test_class_token_match():
+    soup = parse_html('<div class="a b c">x</div>')
+    assert soup.find("div", class_="b") is not None
+    assert soup.find("div", class_="d") is None
+
+
+def test_class_whitespace_exact_match():
+    # bs4 multi-token query string compares the full attribute value
+    soup = parse_html('<div class="rd_body clear">x</div><div class="clear rd_body">y</div>')
+    hits = soup.find_all("div", class_="rd_body clear")
+    assert len(hits) == 1 and hits[0].text == "x"
+
+
+def test_attrs_and_id():
+    soup = parse_html('<span id="likeCnt">7</span><i itemprop="datePublished">d</i>')
+    assert soup.find("span", id="likeCnt").text == "7"
+    assert soup.find("i", itemprop="datePublished").text == "d"
+
+
+def test_find_parent():
+    soup = parse_html('<div style="background:#f8f7f7;"><span><img src="x"></span></div>')
+    img = soup.find("img")
+    assert img.find_parent("div", attrs={"style": "background:#f8f7f7;"}) is not None
+    assert img.find_parent("table") is None
+
+
+def test_void_elements_and_recovery():
+    soup = parse_html("<div><img src=a><br><p>t</div></p>")
+    assert soup.find("img") is not None
+    assert soup.find("p").text == "t"
+
+
+def test_find_all_nested_order():
+    soup = parse_html("<div><p>1</p><section><p>2</p></section><p>3</p></div>")
+    assert [p.text for p in soup.find("div").find_all("p")] == ["1", "2", "3"]
