@@ -70,26 +70,34 @@ class CrawlResult:
     seen: DataFrame | None = None
 
 
-def _board_frontier_rows(boards: list[BoardConfig], state: dict[str, BoardState]) -> list[dict]:
+def _board_frontier_rows(
+    boards: list[BoardConfig], state: dict[str, BoardState], pages_per_round: int
+) -> list[dict]:
+    """Frontier slice for one round: the next ``pages_per_round`` list pages
+    of every active board (block-speculative expansion — the staleness rule
+    is applied post-hoc on per-page aggregates, so semantics stay exactly
+    sequential while the fetch itself is one batched stage)."""
     rows = []
     for b in boards:
         st = state[b.board]
         if not st.active:
             continue
-        rows.append(
-            {
-                "url": list_url(b, st.page_no),
-                "board": b.board,
-                "community": b.community,
-                "site": b.site,
-                "host": b.host,
-                "encoding": b.encoding,
-                "min_views": b.min_views,
-                "site_rank": b.site_rank,
-                "page_no": st.page_no,
-                "check_detail_date": _checks_detail_date(b),
-            }
-        )
+        hi = min(st.page_no + pages_per_round, b.max_pages)
+        for p in range(st.page_no, hi):
+            rows.append(
+                {
+                    "url": list_url(b, p),
+                    "board": b.board,
+                    "community": b.community,
+                    "site": b.site,
+                    "host": b.host,
+                    "encoding": b.encoding,
+                    "min_views": b.min_views,
+                    "site_rank": b.site_rank,
+                    "page_no": p,
+                    "check_detail_date": _checks_detail_date(b),
+                }
+            )
     return rows
 
 
@@ -150,6 +158,7 @@ def run_crawl(
     host_target_rows: int = 5000,
     checkpoint_dir: str | None = None,
     keep_lineage: bool = False,
+    pages_per_round: int = 8,
 ) -> CrawlResult:
     boards = boards or ENABLED_BOARDS
     by_name = {b.board: b for b in boards}
@@ -177,16 +186,17 @@ def run_crawl(
     pages_slim = pages.select("url", "html", "warc_ts")
     t0 = time.time()
     rnd = start_round
-    total_rounds = max_rounds if max_rounds is not None else max(
-        b.max_pages for b in boards
-    )
+    if max_rounds is not None:
+        total_rounds = max_rounds
+    else:
+        total_rounds = (max(b.max_pages for b in boards) + pages_per_round - 1) // pages_per_round
 
     while rnd < total_rounds and any(s.active for s in state.values()):
         if max_seconds is not None and time.time() - t0 > max_seconds:
             break  # P7 wall-clock budget; state stays resumable
         round_t0 = time.time()
 
-        rows = _board_frontier_rows(boards, state)
+        rows = _board_frontier_rows(boards, state, pages_per_round)
         if not rows:
             break
         frontier = spark.createDataFrame(rows, schema=_FRONTIER_SCHEMA)
@@ -205,23 +215,47 @@ def run_crawl(
             .withColumn("today", is_today(F.col("date"), run_date))
         ).persist()
 
-        # per-board stats → driver staleness/budget state (P9); ≤ one row/board
-        stats = {
-            r["board"]: r
-            for r in cand.groupBy("board")
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.sum(F.col("today").cast("long")).alias("n_today"),
-                F.sum(
-                    (F.col("today") & (F.col("views") >= F.col("min_views"))).cast("long")
-                ).alias("n_cand"),
-            )
+        # per-(board, page) aggregates → driver replays the sequential
+        # staleness rule (P9) over the block; one small collect per round
+        page_stats: dict[tuple[str, int], int] = {
+            (r["board"], r["page_no"]): int(r["n_today"] or 0)
+            for r in cand.groupBy("board", "page_no")
+            .agg(F.sum(F.col("today").cast("long")).alias("n_today"))
             .collect()
         }
 
-        # candidates surviving freshness + threshold, deduped in-round (D1/D2)
+        # sequential replay: find each board's cut page (inclusive); pages
+        # after the cut were fetched speculatively and contribute nothing
+        allowed: dict[str, int] = {}
+        fetched_pages: dict[str, list[int]] = {}
+        for row in rows:
+            fetched_pages.setdefault(row["board"], []).append(row["page_no"])
+        for name, plist in fetched_pages.items():
+            st = state[name]
+            b = by_name[name]
+            last_ok = -1
+            for p in sorted(plist):
+                n_today = page_stats.get((name, p), 0)
+                st.stale = 0 if n_today > 0 else st.stale + 1
+                st.page_no = p + 1
+                last_ok = p
+                if st.stale >= b.stop_n or st.page_no >= b.max_pages:
+                    st.active = False
+                    break
+            allowed[name] = last_ok
+
+        cut_pred = F.lit(False)
+        for name, last_ok in allowed.items():
+            cut_pred = cut_pred | (
+                (F.col("board") == name) & (F.col("page_no") <= last_ok)
+            )
+
+        # candidates surviving freshness + threshold + staleness cut,
+        # deduped in-round (D1/D2)
         selected = (
-            cand.filter(F.col("today") & (F.col("views") >= F.col("min_views")))
+            cand.filter(
+                F.col("today") & (F.col("views") >= F.col("min_views")) & cut_pred
+            )
             .withColumn("url_hash", url_hash(F.col("link")))
             .dropDuplicates(["url_hash"])
         )
@@ -295,26 +329,10 @@ def run_crawl(
         )
         cand.unpersist()
 
-        # driver state update (P8 page budget, P9 consecutive-staleness stop)
-        for name, st in state.items():
-            if not st.active:
-                continue
-            b = by_name[name]
-            row = stats.get(name)
-            n_today = int(row["n_today"]) if row and row["n_today"] is not None else 0
-            if n_today == 0:
-                st.stale += 1
-            else:
-                st.stale = 0
-            st.page_no += 1
-            if st.stale >= b.stop_n or st.page_no >= b.max_pages:
-                st.active = False
-
         metrics.append(
             {
                 "round": rnd,
                 "list_pages": len(rows),
-                "candidates": sum(int(r["n_cand"] or 0) for r in stats.values()),
                 "extracted": n_extracted,
                 "wall_ms": int((time.time() - round_t0) * 1000),
             }
