@@ -46,7 +46,7 @@ from ..operators.listparse import parse_list_pages
 from ..schemas import EXTRACTED
 from ..sources.synthetic_pages import list_url
 from . import seen as seen_mod
-from .politeness import salted_repartition_by_host
+from .politeness import host_salt_plan, salted_repartition_by_host
 
 _CHECK_DETAIL_DATE_SITES = ("ruliweb", "inven")  # F5 boards (+ fmkorea_funny)
 
@@ -158,7 +158,8 @@ def run_crawl(
     host_target_rows: int = 5000,
     checkpoint_dir: str | None = None,
     keep_lineage: bool = False,
-    pages_per_round: int = 8,
+    pages_per_round: int = 16,
+    robots: DataFrame | None = None,
 ) -> CrawlResult:
     boards = boards or ENABLED_BOARDS
     by_name = {b.board: b for b in boards}
@@ -184,6 +185,12 @@ def run_crawl(
             extracted_parts.append(prev.select(*EXTRACTED.fieldNames()))
 
     pages_slim = pages.select("url", "html", "warc_ts")
+    # Politeness salt factors from the snapshot's host distribution — one
+    # pre-pass for the whole run (hosts are stable across depth rounds).
+    salt_plan = host_salt_plan(
+        pages.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host")),
+        target_rows_per_task=host_target_rows,
+    )
     t0 = time.time()
     rnd = start_round
     if max_rounds is not None:
@@ -260,6 +267,12 @@ def run_crawl(
             .dropDuplicates(["url_hash"])
         )
 
+        # P12: robots gating before any fetch (broadcast join, north_rule)
+        if robots is not None:
+            from .robots import gate_by_robots
+
+            selected = gate_by_robots(selected, robots, host_col="host", url_col="link")
+
         if use_bloom:
             unseen = seen_mod.filter_unseen(selected, seen, n_shards)
         else:
@@ -272,7 +285,7 @@ def run_crawl(
             .join(pages_slim.withColumnRenamed("warc_ts", "page_warc_ts"), on="url", how="inner")
         )
         detail = salted_repartition_by_host(
-            detail, host_col="host", url_col="url", target_rows_per_task=host_target_rows
+            detail, host_col="host", url_col="url", salt_plan=salt_plan
         )
         ext = with_extraction(detail)
 

@@ -21,36 +21,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def host_salt_plan(
+    df: DataFrame,
+    host_col: str = "host",
+    target_rows_per_task: int = 5000,
+) -> dict[str, int]:
+    """One ``groupBy(host).count()`` pre-pass → per-host salt factors.
+
+    Hosts under the target keep salt_n=1 (stable single-task politeness);
+    mega-hosts split into ``ceil(count/target)`` sub-partitions. Compute this
+    ONCE per snapshot (host distribution is stable across depth rounds) and
+    reuse — the result is one small dict, broadcast into each round's plan as
+    a literal map.
+    """
+    rows = df.groupBy(host_col).count().collect()
+    return {
+        r[host_col]: max(1, -(-int(r["count"]) // target_rows_per_task)) for r in rows
+    }
+
+
 def salted_repartition_by_host(
     df: DataFrame,
     host_col: str = "host",
     url_col: str = "url",
     target_rows_per_task: int = 5000,
     num_partitions: int | None = None,
+    salt_plan: dict[str, int] | None = None,
 ) -> DataFrame:
     """Repartition fetch candidates by (host, salt).
 
-    Salt factor is data-driven: one cheap ``groupBy(host).count()`` pre-pass
-    (tiny result — one row per distinct host) broadcast back onto the rows.
-    Hosts under the target keep salt_n=1 (stable single-task politeness);
-    mega-hosts split into ``ceil(count/target)`` sub-partitions.
+    With ``salt_plan`` provided (precomputed via :func:`host_salt_plan`),
+    no extra job runs — the factors are inlined as a literal map lookup.
     """
-    counts = (
-        df.groupBy(host_col)
-        .count()
-        .withColumn(
-            "salt_n",
-            F.greatest(
-                F.lit(1), F.ceil(F.col("count") / F.lit(target_rows_per_task))
-            ).cast("int"),
+    if salt_plan is None:
+        salt_plan = host_salt_plan(df, host_col, target_rows_per_task)
+    if salt_plan:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in salt_plan.items() for x in kv]
         )
-        .drop("count")
-    )
-    salted = (
-        df.join(F.broadcast(counts), on=host_col)
-        .withColumn("_salt", F.pmod(F.xxhash64(F.col(url_col)), F.col("salt_n")))
-        .drop("salt_n")
-    )
+        salt_n = F.coalesce(mapping[F.col(host_col)], F.lit(1))
+    else:
+        salt_n = F.lit(1)
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(F.col(url_col)), salt_n))
     key = F.concat_ws("#", F.col(host_col), F.col("_salt"))
     if num_partitions:
         out = salted.repartition(num_partitions, key)

@@ -92,9 +92,13 @@ def test_seen_filter_unit(spark):
 
 def test_checkpoint_resume_identical(spark, pages_df, tmp_path, crawl_result):
     ck = str(tmp_path / "ck")
-    partial = run_crawl(spark, pages_df, n_shards=8, max_rounds=2, checkpoint_dir=ck)
+    partial = run_crawl(
+        spark, pages_df, n_shards=8, max_rounds=2, checkpoint_dir=ck, pages_per_round=2
+    )
     assert partial.rounds == 2
-    resumed = run_crawl(spark, pages_df, n_shards=8, checkpoint_dir=ck)
+    resumed = run_crawl(
+        spark, pages_df, n_shards=8, checkpoint_dir=ck, pages_per_round=2
+    )
     full = {r.url for r in crawl_result.extracted.select("url").collect()}
     got = {r.url for r in resumed.extracted.select("url").collect()}
     assert got == full
