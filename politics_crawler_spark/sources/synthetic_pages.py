@@ -24,6 +24,7 @@ the mega-host the politeness stage must salt-split (north_rule).
 
 from __future__ import annotations
 
+import dataclasses
 import random
 import zlib
 from datetime import datetime, timedelta
@@ -61,14 +62,46 @@ _CATEGORIES = ["정치", "일반", "뉴스", "이슈", "토론"]
 # layout: row_id space → (board, kind, index) via pure arithmetic
 # --------------------------------------------------------------------------
 
-def board_layout(total_rows: int) -> list[dict]:
+def expanded_boards(replicas: int = 1) -> list[tuple[BoardConfig, float]]:
+    """(board, weight) pairs, optionally widened to ``replicas`` virtual
+    clones per reference board (distinct hosts ``r{v}.<host>``).
+
+    A 10^10-URL frontier is WIDE (millions of hosts), not deep — page
+    budgets (P8) bound each board's crawl, so workload scales with host
+    count. Clone 0 keeps the original host and half its family's weight,
+    preserving the dcinside mega-host skew the politeness stage must split.
+    """
+    res = []
+    for b in _GEN_BOARDS:
+        fam_w = _W[b.board]
+        if replicas <= 1:
+            res.append((b, fam_w))
+            continue
+        res.append((b, fam_w * 0.5))
+        for v in range(1, replicas):
+            clone = dataclasses.replace(
+                b,
+                board=f"{b.board}~{v}",
+                host=f"r{v}.{b.host}",
+                site_rank=b.site_rank + len(BOARDS) * v,
+            )
+            res.append((clone, fam_w * 0.5 / (replicas - 1)))
+    return res
+
+
+def crawl_boards(replicas: int = 1) -> list[BoardConfig]:
+    return [b for b, _ in expanded_boards(replicas)]
+
+
+def board_layout(total_rows: int, replicas: int = 1) -> list[dict]:
     """Split [0, total_rows) into per-board slices; inside a slice the first
     ``n_pages`` rows are list pages, the rest detail pages."""
+    pairs = expanded_boards(replicas)
     layout = []
     start = 0
-    for i, b in enumerate(_GEN_BOARDS):
-        m = int(_W[b.board] * total_rows)
-        if i == len(_GEN_BOARDS) - 1:
+    for i, (b, w) in enumerate(pairs):
+        m = int(w * total_rows)
+        if i == len(pairs) - 1:
             m = total_rows - start
         if m < 2 or start >= total_rows:
             continue
@@ -504,20 +537,21 @@ def gen_row(row_id: int, layout: list[dict], seed: int = DEFAULT_SEED) -> dict:
     }
 
 
-def synthesize_pages_pandas(total_rows: int, seed: int = DEFAULT_SEED):
+def synthesize_pages_pandas(total_rows: int, seed: int = DEFAULT_SEED, replicas: int = 1):
     import pandas as pd
 
-    layout = board_layout(total_rows)
+    layout = board_layout(total_rows, replicas)
     n = layout[-1]["start"] + layout[-1]["n_rows"] if layout else 0
     return pd.DataFrame([gen_row(i, layout, seed) for i in range(n)])
 
 
-def synthesize_pages(spark, total_rows: int, seed: int = DEFAULT_SEED, partitions: int | None = None):
+def synthesize_pages(spark, total_rows: int, seed: int = DEFAULT_SEED,
+                     partitions: int | None = None, replicas: int = 1):
     """Distributed generation: ``spark.range`` → ``mapInPandas`` (no shuffle,
     no driver-side rows; scales linearly with executors)."""
     from ..schemas import PAGES
 
-    layout = board_layout(total_rows)
+    layout = board_layout(total_rows, replicas)
     n = layout[-1]["start"] + layout[-1]["n_rows"] if layout else 0
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
 

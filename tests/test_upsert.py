@@ -1,0 +1,92 @@
+"""Upsert sink tests (K2-K6 semantics)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from politics_crawler_spark.sinks.upsert import merge_sql, normalize_batch, upsert
+
+
+def _row(url, community, post_id, title, writer, views, content, date):
+    return dict(
+        url=url, community=community, post_id=post_id, category="c",
+        title=title, link=url, writer=writer, date=date, views=views,
+        recommend=0, comments=None, content=content,
+        images=["https://x/i.png"], status="ok",
+    )
+
+
+EXT_SCHEMA = (
+    "url string, community string, post_id string, category string, "
+    "title string, link string, writer string, date timestamp, views long, "
+    "recommend long, comments long, content string, images array<string>, "
+    "status string"
+)
+
+D1 = dt.datetime(2025, 3, 11, 10, 0)
+D2 = dt.datetime(2025, 3, 12, 10, 0)
+
+
+def test_normalize_batch_k4_k5_k6(spark):
+    batch = spark.createDataFrame(
+        [
+            _row("u1", "1", "p1", "t1", "w1", 5, "c1", D1),     # bare digits → 1p
+            _row("u2", "11p", "p2", "nan", "w2", 5, "c2", D1),  # null token title
+            _row("u3", "xx", "p3", "t3", "w3", 5, "c3", D1),    # invalid code → dropped
+        ],
+        EXT_SCHEMA,
+    )
+    out = normalize_batch(batch)
+    rows = {r.url: r for r in out.collect()}
+    assert set(rows) == {"u1", "u2"}
+    assert rows["u1"].community == "1p"
+    assert rows["u2"].title is None
+    assert rows["u1"].images_json == '["https://x/i.png"]'
+
+
+def test_upsert_insert_update_skip(spark):
+    target = normalize_batch(
+        spark.createDataFrame(
+            [
+                _row("u1", "1p", "p1", "t1", "w1", 100, "old", D1),
+                _row("u2", "1p", "p2", "t2", "w2", 50, "same", D1),
+            ],
+            EXT_SCHEMA,
+        )
+    )
+    batch = spark.createDataFrame(
+        [
+            _row("u1b", "1p", "p1", "t1", "w1", 999, "new", D2),   # update (views/content changed)
+            _row("u2", "1p", "p2", "t2", "w2", 50, "same", D1),    # identical → skip (target kept)
+            _row("u3", "1p", "p9", "t9", "w9", 10, "ins", D2),     # insert
+            _row("u4", "1p", "", "tX", "wX", 10, "fb", D2),        # fallback key (title,writer)
+        ],
+        EXT_SCHEMA,
+    )
+    out = upsert(target, batch)
+    rows = {(r.post_id or "") + "|" + (r.title or ""): r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows["p1|t1"].views == 999 and rows["p1|t1"].content == "new"
+    assert rows["p2|t2"].url == "u2"  # skipped → original row retained
+    assert rows["p9|t9"].content == "ins"
+    assert rows["|tX"].content == "fb"
+
+
+def test_upsert_batch_internal_dedup(spark):
+    target = normalize_batch(spark.createDataFrame([], EXT_SCHEMA))
+    batch = spark.createDataFrame(
+        [
+            _row("a", "1p", "p1", "t", "w", 1, "v1", D1),
+            _row("b", "1p", "p1", "t", "w", 2, "v2", D2),  # newer wins
+        ],
+        EXT_SCHEMA,
+    )
+    out = upsert(target, batch).collect()
+    assert len(out) == 1 and out[0].content == "v2"
+
+
+def test_merge_sql_shape():
+    sql = merge_sql()
+    assert "MERGE INTO extracted t" in sql
+    assert "WHEN MATCHED AND" in sql and "WHEN NOT MATCHED THEN INSERT" in sql
+    assert "t.post_id = s.post_id AND t.community = s.community" in sql

@@ -1,0 +1,88 @@
+"""One scaling-bench job: run the crawl engine (and a pure extraction
+full-scan) at a given local[N] parallelism, print one JSON line.
+
+Invoked by tools/bench_scaling.py in a fresh subprocess per parallelism
+level so each run gets its own JVM (the sandbox stand-in for N-executor vs
+4N-executor clusters per BASELINE.md's sandbox evidence plan).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--pages", type=int, default=150_000)
+    ap.add_argument("--mode", choices=["crawl", "extract"], default="crawl")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from politics_crawler_spark.session import get_spark
+    from politics_crawler_spark.sources.synthetic_pages import (
+        crawl_boards,
+        synthesize_pages,
+    )
+
+    spark = get_spark(
+        app_name=f"scaling-{args.cpus}",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # wide frontier: replicate boards so each slice is ~2800 rows — the
+    # 10^10 frontier is wide (many hosts), page budgets bound the depth
+    replicas = max(1, round(args.pages / (19 * 2800)))
+    pages = synthesize_pages(
+        spark, args.pages, partitions=args.cpus * 2, replicas=replicas
+    ).persist()
+    n_rows = pages.count()  # materialize before timing
+
+    if args.mode == "crawl":
+        from politics_crawler_spark.plans.crawl import run_crawl
+
+        t0 = time.time()
+        res = run_crawl(
+            spark, pages, n_shards=max(16, args.cpus), pages_per_round=32,
+            boards=crawl_boards(replicas),
+        )
+        n_out = res.extracted.count()
+        wall = time.time() - t0
+        n_lists = sum(m["list_pages"] for m in res.metrics)
+        urls = n_out + n_lists
+    else:
+        from politics_crawler_spark.operators.extract import site_expr, with_extraction
+
+        detail = pages.filter(F.col("text") != "").withColumn(
+            "site", site_expr(F.parse_url(F.col("url"), F.lit("HOST")))
+        )
+        t0 = time.time()
+        out = with_extraction(detail).select("url", "status", F.length("content").alias("n"))
+        n_out = out.filter(F.col("status") == "ok").count()
+        wall = time.time() - t0
+        urls = n_out
+
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "mode": args.mode,
+                "pages": n_rows,
+                "processed_urls": urls,
+                "wall_sec": round(wall, 3),
+                "urls_per_sec": round(urls / wall, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
