@@ -138,12 +138,21 @@ def q06_latest_per_user(spark, sf):
     )
 
 
+def _noisy_documents(spark, sf):
+    """documents ∪ exact copies of every 7th doc (shifted ids) — the base
+    table has no duplicate texts, so dedup queries need injected dups to
+    demonstrate collapse."""
+    d = _t(spark, sf, "documents")
+    dups = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return d.unionByName(dups)
+
+
 def q07_exact_dedup(spark, sf):
     from politics_crawler_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_t(spark, sf, "documents")).select(
-        "doc_id", "dup_count"
-    )
+    return exact_dedup(_noisy_documents(spark, sf)).select("doc_id", "dup_count")
 
 
 def q08_token_count(spark, sf):
@@ -183,7 +192,7 @@ def q10_lang_id(spark, sf):
 def q11_fingerprint_dups(spark, sf):
     from politics_crawler_spark.operators.textstats import fingerprint
 
-    d = _t(spark, sf, "documents")
+    d = _noisy_documents(spark, sf)
     return (
         d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
@@ -295,6 +304,148 @@ def q19_extract_fullscan(spark, sf):
     )
 
 
+def q20_merge_batches(spark, sf):
+    """K2/D3 cross-run upsert, relationally: two event batches merge on
+    (user_id, event_type); the newer run's row wins per key."""
+    e = _t(spark, sf, "events")
+    cutoff = "2024-02-01"
+    old = e.filter(F.col("ts") < cutoff)
+    new = e.filter(F.col("ts") >= cutoff)
+    merged = old.unionByName(new)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+def q21_set_ops(spark, sf):
+    """A4 set ops: user-days with a click but no error (EXCEPT/distinct)."""
+    e = _t(spark, sf, "events")
+    day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id", day).distinct()
+    erroring = e.filter(F.col("event_type") == "error").select("user_id", day).distinct()
+    return clickers.exceptAll(erroring).distinct().orderBy("user_id", "day")
+
+
+def q22_token_explode(spark, sf):
+    """Explode analog of the images array (K6/A4): top-50 tokens."""
+    d = _t(spark, sf, "documents")
+    tok = d.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(50)
+    )
+
+
+def q23_rollup(spark, sf):
+    """A7 rollup: lineitem counts at (flag, status), (flag), ()."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q24_anti_semi_join(spark, sf):
+    """A6: customers with no orders (anti) + count of those with (semi)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    no_big = c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+    return no_big.select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+def q25_median(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q26_monthly(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+def q27_conditional_agg(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+            F.max("ts").alias("last_seen"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q28_images_json(spark, sf):
+    """K6: array → JSON string encode."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(F.array(F.col("source"), F.col("lang"))).alias("tags_json"),
+    )
+
+
+def q29_text_cleanup(spark, sf):
+    """L8 cleanup composition: trim/normalize/case/category-tag strip."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("norm_text_head")
+        .substr(1, 80).alias("norm_head"),
+        F.upper(F.col("lang")).alias("lang_uc"),
+    )
+
+
+def q30_lag_window(spark, sf):
+    """Window lag: mean inter-event gap per user (seconds)."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = e.withColumn(
+        "gap_us",
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp")),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.round(
+                (F.sum("gap_us").cast("double") / F.lit(1_000_000.0)) / F.count("*"),
+                4,
+            ).alias("avg_gap_s"),
+            F.count("*").alias("n_gaps"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -316,6 +467,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_lsh_ann": q17_lsh_ann,
         "q18_crawl_flagship": q18_crawl_flagship,
         "q19_extract_fullscan": q19_extract_fullscan,
+        "q20_merge_batches": q20_merge_batches,
+        "q21_set_ops": q21_set_ops,
+        "q22_token_explode": q22_token_explode,
+        "q23_rollup": q23_rollup,
+        "q24_anti_semi_join": q24_anti_semi_join,
+        "q25_median": q25_median,
+        "q26_monthly": q26_monthly,
+        "q27_conditional_agg": q27_conditional_agg,
+        "q28_images_json": q28_images_json,
+        "q29_text_cleanup": q29_text_cleanup,
+        "q30_lag_window": q30_lag_window,
     }
 
 
@@ -375,7 +537,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q07_exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
-            FROM documents GROUP BY text
+            FROM (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
+            GROUP BY text
         """,
         "q08_token_count": r"""
             SELECT doc_id,
@@ -410,7 +575,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT fp, n, rep_id FROM (
                 SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
                        count(*) AS n, min(doc_id) AS rep_id
-                FROM documents
+                FROM (SELECT doc_id, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
                 GROUP BY 1
             ) WHERE n > 1
         """,
@@ -445,5 +612,75 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY sim DESC, neighbor_id ASC) AS rk
                 FROM pairs
             ) WHERE rk <= 10 ORDER BY query_id, rank
+        """,
+        "q20_merge_batches": """
+            SELECT user_id, event_type, event_id, ts, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "q21_set_ops": """
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'error'
+            ORDER BY user_id, day
+        """,
+        "q22_token_explode": r"""
+            SELECT token, count(*) AS n FROM (
+                SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+            ) WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+        """,
+        "q23_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """,
+        "q24_anti_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            ORDER BY c_custkey
+        """,
+        "q25_median": """
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q26_monthly": """
+            SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY 1 ORDER BY month
+        """,
+        "q27_conditional_agg": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+                   max(ts) AS last_seen
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q28_images_json": """
+            SELECT doc_id, to_json([source, lang]) AS tags_json FROM documents
+        """,
+        "q29_text_cleanup": r"""
+            SELECT doc_id,
+                   substring(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 80) AS norm_head,
+                   upper(lang) AS lang_uc
+            FROM documents
+        """,
+        "q30_lag_window": """
+            SELECT user_id,
+                   round((CAST(sum(gap_us) AS DOUBLE) / 1000000.0) / count(*), 4) AS avg_gap_s,
+                   count(*) AS n_gaps
+            FROM (
+                SELECT user_id,
+                       epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                             ORDER BY ts ASC, event_id ASC)) AS gap_us
+                FROM events
+            ) WHERE gap_us IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
     }

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--mode", choices=["crawl", "extract"], default="crawl")
     args = ap.parse_args()
 
+    import os
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
     from pyspark.sql import functions as F
 
     from politics_crawler_spark.session import get_spark
