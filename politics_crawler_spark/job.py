@@ -1,0 +1,84 @@
+"""spark-submit entry point (north_rule: ``spark-submit --py-files``).
+
+Usage:
+  spark-submit --py-files politics_crawler_spark.zip \
+      -m politics_crawler_spark.job -- \
+      --pages <parquet dir or 'synthetic:N[:replicas]'> \
+      --out /path/extracted --checkpoint /path/ck [--run-date YYYY-MM-DD]
+
+Local sandbox equivalent: ``python -m politics_crawler_spark.job ...`` —
+the session factory picks local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import functions as F
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True,
+                    help="parquet dir of the pages snapshot, or synthetic:N[:replicas]")
+    ap.add_argument("--out", required=True, help="output dir for extracted parquet")
+    ap.add_argument("--checkpoint", default=None, help="resume-safe checkpoint dir")
+    ap.add_argument("--run-date", default=None)
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--pages-per-round", type=int, default=16)
+    ap.add_argument("--max-seconds", type=float, default=None)
+    args = ap.parse_args(argv)
+
+    from .config import RUN_DATE
+    from .plans.crawl import run_crawl
+    from .session import get_spark
+    from .sources.synthetic_pages import crawl_boards, synthesize_pages
+
+    spark = get_spark(app_name="pcs-crawl-job")
+    spark.sparkContext.setLogLevel("WARN")
+
+    boards = None
+    if args.pages.startswith("synthetic:"):
+        parts = args.pages.split(":")
+        n = int(parts[1])
+        replicas = int(parts[2]) if len(parts) > 2 else 1
+        pages = synthesize_pages(spark, n, replicas=replicas)
+        boards = crawl_boards(replicas)
+    else:
+        pages = spark.read.parquet(args.pages)
+
+    res = run_crawl(
+        spark,
+        pages,
+        run_date=args.run_date or RUN_DATE,
+        boards=boards,
+        n_shards=args.n_shards,
+        pages_per_round=args.pages_per_round,
+        max_seconds=args.max_seconds,
+        checkpoint_dir=args.checkpoint,
+    )
+    res.extracted.write.mode("overwrite").parquet(args.out)
+    metrics_df(spark, res.metrics).write.mode("overwrite").parquet(args.out + "_metrics")
+    print(json.dumps({"rounds": res.rounds, "metrics": res.metrics}))
+
+
+def metrics_df(spark, metrics: list[dict]):
+    """Per-round metrics as a frame (METRICS-table surface for dashboards)."""
+    return spark.createDataFrame(
+        [
+            {
+                "round": m["round"],
+                "stage": "round",
+                "n_in": m["list_pages"],
+                "n_out": m["extracted"],
+                "wall_ms": m["wall_ms"],
+            }
+            for m in metrics
+        ],
+        schema="round int, stage string, n_in long, n_out long, wall_ms long",
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -54,3 +54,40 @@ def test_void_elements_and_recovery():
 def test_find_all_nested_order():
     soup = parse_html("<div><p>1</p><section><p>2</p></section><p>3</p></div>")
     assert [p.text for p in soup.find("div").find_all("p")] == ["1", "2", "3"]
+
+
+def test_fast_tokenizer_parity_with_stdlib():
+    """Tree parity: fast regex tokenizer vs stdlib html.parser on generator
+    output (text nodes + tags + attrs identical)."""
+    from politics_crawler_spark.parsers.dom import parse_html, parse_html_stdlib
+    from politics_crawler_spark.sources.synthetic_pages import board_layout, gen_row
+
+    def dump(node):
+        out = []
+        for c in node.children:
+            if isinstance(c, str):
+                out.append(("#text", c))
+            else:
+                out.append((c.tag, tuple(sorted(c.attrs.items()))))
+                out.extend(dump(c))
+        return out
+
+    layout = board_layout(600)
+    n = layout[-1]["start"] + layout[-1]["n_rows"]
+    checked = 0
+    for i in range(n):
+        r = gen_row(i, layout)
+        enc = "euc-kr" if b"pic_bg" in r["html"] else "utf-8"
+        text = r["html"].decode(enc, errors="replace")
+        assert dump(parse_html(text)) == dump(parse_html_stdlib(text))
+        checked += 1
+    assert checked > 500
+
+
+def test_fast_tokenizer_comments_doctype():
+    from politics_crawler_spark.parsers.dom import parse_html
+
+    soup = parse_html("<!DOCTYPE html><!-- c --><div a=1 b='2' c=\"3\">x<!-- y --></div>")
+    d = soup.find("div")
+    assert d.attrs == {"a": "1", "b": "2", "c": "3"}
+    assert d.get_text() == "x"

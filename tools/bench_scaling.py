@@ -21,8 +21,12 @@ def run(cpus: int, mode: str) -> dict:
          "--pages", str(PAGES), "--mode", mode],
         capture_output=True, text=True, cwd="/root/repo", timeout=3600,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(f"[scaling_job cpus={cpus} mode={mode} rc={out.returncode}]\n")
+        sys.stderr.write(out.stderr[-4000:] + "\n")
+        raise RuntimeError("scaling job produced no result line")
+    return json.loads(lines[-1])
 
 
 def main():
