@@ -183,7 +183,8 @@ def make_simhash_udf(shingle_k: int = 5):
                 out.append(0)
                 continue
             bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            score = bits.sum(axis=0) * 2 - len(sh)  # +1/-1 vote per feature
+            # +1/-1 vote per feature; signed math (uint64 would underflow)
+            score = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)
             val = np.uint64(0)
             for i in np.nonzero(score > 0)[0]:
                 val |= np.uint64(1) << np.uint64(i)
