@@ -251,18 +251,24 @@ def run_crawl(
                     break
             allowed[name] = last_ok
 
-        cut_pred = F.lit(False)
-        for name, last_ok in allowed.items():
-            cut_pred = cut_pred | (
-                (F.col("board") == name) & (F.col("page_no") <= last_ok)
-            )
+        # staleness cut as a broadcast-joined dimension (one row per board;
+        # an OR-chain of predicates would blow the expression tree at
+        # thousands of boards)
+        cuts = spark.createDataFrame(
+            [(name, last_ok) for name, last_ok in allowed.items()],
+            "board string, _max_page int",
+        )
 
         # candidates surviving freshness + threshold + staleness cut,
         # deduped in-round (D1/D2)
         selected = (
-            cand.filter(
-                F.col("today") & (F.col("views") >= F.col("min_views")) & cut_pred
+            cand.join(F.broadcast(cuts), on="board")
+            .filter(
+                F.col("today")
+                & (F.col("views") >= F.col("min_views"))
+                & (F.col("page_no") <= F.col("_max_page"))
             )
+            .drop("_max_page")
             .withColumn("url_hash", url_hash(F.col("link")))
             .dropDuplicates(["url_hash"])
         )
