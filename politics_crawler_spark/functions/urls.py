@@ -29,11 +29,34 @@ def canonicalize_udf(base: pd.Series, href: pd.Series) -> pd.Series:
 
 
 def canonical_url(base: Column, href: Column) -> Column:
-    """Absolute URL for a discovered href. JVM fast path: hrefs that are
-    already absolute skip the UDF entirely (common case at scale)."""
-    return F.when(
-        href.startswith("http://") | href.startswith("https://"), href
-    ).otherwise(canonicalize_udf(base, href))
+    """Absolute URL for a discovered href — pure JVM expressions.
+
+    A pandas UDF here would run for EVERY row even under a ``when`` branch
+    (ArrowEvalPython evaluates the whole batch before the projection picks
+    branches), putting Python in the hottest path of the engine. The
+    urljoin cases that occur in board markup are all expressible JVM-side:
+
+      absolute            -> href
+      protocol-relative   -> scheme + href
+      root-relative (/x)  -> scheme://host + href
+      query-only (?x)     -> base path + href
+      relative (x/y)      -> base directory + href
+
+    (:func:`canonicalize_udf` remains available for exotic grammars.)
+    """
+    scheme = F.regexp_extract(base, r"^(https?):", 1)
+    origin = F.regexp_extract(base, r"^(https?://[^/?#]+)", 1)
+    basedir = F.regexp_extract(base, r"^(.*/)[^/?#]*(?:[?#].*)?$", 1)
+    basepath = F.regexp_extract(base, r"^([^?#]*)", 1)
+    return (
+        F.when(href.isNull(), F.lit(None).cast("string"))
+        .when(href.startswith("http://") | href.startswith("https://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.startswith("?"), F.concat(basepath, href))
+        .when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), href)  # other schemes
+        .otherwise(F.concat(basedir, href))
+    )
 
 
 def url_hash(url: Column) -> Column:

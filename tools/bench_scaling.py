@@ -1,9 +1,9 @@
 """Two-cluster-size scaling evidence (BASELINE.json north_rule, sandbox
-plan per BASELINE.md): run the identical job at local[8] ("N executors")
-and local[32] ("4N executors") on the same synthetic input, in separate
-JVMs, and report throughput at both plus scaling efficiency
-(rate_32 / rate_8) / 4. Writes BENCH_SCALING.json and refreshes the
-measured-numbers section in BASELINE.md.
+plan per BASELINE.md): run the identical job at a ladder of local[N]
+parallelism levels on the same synthetic input, each in its own JVM (the
+sandbox stand-in for N-executor vs 4N-executor clusters), and report
+throughput at every level plus scaling efficiency for the N→4N pairs
+(4→16 and 8→32). Writes BENCH_SCALING.json.
 """
 
 from __future__ import annotations
@@ -12,7 +12,8 @@ import json
 import subprocess
 import sys
 
-PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
+LADDER = [4, 8, 16, 32]
 
 
 def run(cpus: int, mode: str) -> dict:
@@ -31,13 +32,21 @@ def run(cpus: int, mode: str) -> dict:
 
 def main():
     results = {}
-    for mode in ("extract", "crawl"):
-        lo = run(8, mode)
-        hi = run(32, mode)
-        eff = round((hi["urls_per_sec"] / lo["urls_per_sec"]) / 4.0, 3)
-        results[mode] = {"local8": lo, "local32": hi, "scaling_efficiency": eff}
-        print(json.dumps({"mode": mode, "local8": lo["urls_per_sec"],
-                          "local32": hi["urls_per_sec"], "efficiency": eff}))
+    for mode in ("crawl", "extract"):
+        ladder = {}
+        for cpus in LADDER:
+            r = run(cpus, mode)
+            ladder[f"local{cpus}"] = r
+            print(json.dumps({"mode": mode, "cpus": cpus,
+                              "urls_per_sec": r["urls_per_sec"],
+                              "wall_sec": r["wall_sec"]}))
+        effs = {}
+        for lo, hi in ((4, 16), (8, 32)):
+            effs[f"{lo}to{hi}"] = round(
+                (ladder[f"local{hi}"]["urls_per_sec"]
+                 / ladder[f"local{lo}"]["urls_per_sec"]) / 4.0, 3)
+        results[mode] = {"ladder": ladder, "scaling_efficiency": effs}
+        print(json.dumps({"mode": mode, "efficiency": effs}))
     with open("/root/repo/BENCH_SCALING.json", "w") as f:
         json.dump(results, f, indent=2)
 

@@ -62,6 +62,9 @@ def main():
         wall = time.time() - t0
         n_lists = sum(m["list_pages"] for m in res.metrics)
         urls = n_out + n_lists
+        import sys as _sys
+
+        print(json.dumps({"rounds": res.metrics}), file=_sys.stderr)
     else:
         from politics_crawler_spark.operators.extract import site_expr, with_extraction
 
