@@ -67,12 +67,19 @@ def main():
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
-    # crawl throughput at sf-proportional snapshot size
+    # crawl throughput at sf-proportional snapshot size; wide frontier
+    # (replicated boards — a web-scale frontier grows in hosts, not depth)
+    from politics_crawler_spark.sources.synthetic_pages import crawl_boards
+
     n_pages = max(2000, int(400_000 * sf))
-    pages = synthesize_pages(spark, n_pages).persist()
+    replicas = max(1, round(n_pages / (19 * 2800)))
+    pages = synthesize_pages(spark, n_pages, replicas=replicas).persist()
     n_rows = pages.count()
     t0 = time.time()
-    res = run_crawl(spark, pages, n_shards=max(16, CPUS), host_target_rows=2000)
+    res = run_crawl(
+        spark, pages, n_shards=max(16, CPUS), host_target_rows=2000,
+        boards=crawl_boards(replicas), pages_per_round=32,
+    )
     n_extracted = res.extracted.count()
     crawl_sec = round(time.time() - t0, 3)
     times["crawl"] = crawl_sec

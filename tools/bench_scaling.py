@@ -13,7 +13,7 @@ import subprocess
 import sys
 
 PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
-LADDER = [4, 8, 16, 32]
+LADDER = [8, 32]
 
 
 def run(cpus: int, mode: str) -> dict:
