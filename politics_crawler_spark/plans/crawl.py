@@ -348,12 +348,21 @@ def run_crawl(
         )
         cand.unpersist()
 
+        # politeness budget accounting: the serial seconds the reference's
+        # sleep-based schedule would spend on this round's fetches
+        # (inter-page delay ~3.5 s avg + per-post delay_s, SURVEY §2.5 P3/P4)
+        ref_serial_s = 0.0
+        for (bname, _p), n_today in page_stats.items():
+            ref_serial_s += by_name[bname].delay_s * n_today
+        ref_serial_s += 3.5 * len(rows)
+
         metrics.append(
             {
                 "round": rnd,
                 "list_pages": len(rows),
                 "extracted": n_extracted,
                 "wall_ms": int((time.time() - round_t0) * 1000),
+                "ref_serial_s": round(ref_serial_s, 1),
             }
         )
 

@@ -111,6 +111,26 @@ def test_canonical_url(spark):
     ]
 
 
+def test_canonical_url_all_forms(spark):
+    from urllib.parse import urljoin
+
+    cases = [
+        ("https://a.com/x/y?p=1", "//cdn.b.com/i.png"),
+        ("https://a.com/x/y?p=1", "/root/z"),
+        ("https://a.com/x/y?p=1", "?page=2"),
+        ("https://a.com/x/y?p=1", "sibling/page"),
+        ("http://a.com/x/", "/q"),
+        ("https://a.com", "/q"),
+    ]
+    df = spark.createDataFrame(cases, "base string, href string")
+    got = [
+        r.c
+        for r in df.select(canonical_url(F.col("base"), F.col("href")).alias("c")).collect()
+    ]
+    want = [urljoin(b, h) for b, h in cases]
+    assert got == want  # JVM expressions match urllib semantics
+
+
 def test_post_id_patterns(spark):
     rows = [
         ("bobaedream", "https://b.co.kr/view?code=p&No=991", "991"),

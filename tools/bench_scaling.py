@@ -42,9 +42,10 @@ def main():
                               "wall_sec": r["wall_sec"]}))
         effs = {}
         for lo, hi in ((4, 16), (8, 32)):
-            effs[f"{lo}to{hi}"] = round(
-                (ladder[f"local{hi}"]["urls_per_sec"]
-                 / ladder[f"local{lo}"]["urls_per_sec"]) / 4.0, 3)
+            if f"local{lo}" in ladder and f"local{hi}" in ladder:
+                effs[f"{lo}to{hi}"] = round(
+                    (ladder[f"local{hi}"]["urls_per_sec"]
+                     / ladder[f"local{lo}"]["urls_per_sec"]) / 4.0, 3)
         results[mode] = {"ladder": ladder, "scaling_efficiency": effs}
         print(json.dumps({"mode": mode, "efficiency": effs}))
     with open("/root/repo/BENCH_SCALING.json", "w") as f:
