@@ -96,6 +96,10 @@ def _board_frontier_rows(
                     "site_rank": b.site_rank,
                     "page_no": p,
                     "check_detail_date": _checks_detail_date(b),
+                    "stop_n": b.stop_n,
+                    "max_pages": b.max_pages,
+                    "stale0": st.stale,
+                    "first_page": st.page_no,
                 }
             )
     return rows
@@ -104,7 +108,8 @@ def _board_frontier_rows(
 _FRONTIER_SCHEMA = (
     "url string, board string, community string, site string, host string, "
     "encoding string, min_views long, site_rank int, page_no int, "
-    "check_detail_date boolean"
+    "check_detail_date boolean, stop_n int, max_pages int, stale0 int, "
+    "first_page int"
 )
 
 
@@ -206,7 +211,14 @@ def run_crawl(
         rows = _board_frontier_rows(boards, state, pages_per_round)
         if not rows:
             break
-        frontier = spark.createDataFrame(rows, schema=_FRONTIER_SCHEMA)
+        # Arrow-path createDataFrame: the frontier slice is O(boards ×
+        # pages_per_round) rows; the row-by-row pickle path costs seconds
+        # per round at thousands of boards.
+        import pandas as _pd
+
+        frontier = spark.createDataFrame(
+            _pd.DataFrame(rows), schema=_FRONTIER_SCHEMA
+        )
 
         # "fetch" list pages: broadcast tiny frontier against the pages scan
         lists = F.broadcast(frontier).join(pages_slim, on="url", how="inner")
@@ -222,42 +234,72 @@ def run_crawl(
             .withColumn("today", is_today(F.col("date"), run_date))
         ).persist()
 
-        # per-(board, page) aggregates → driver replays the sequential
-        # staleness rule (P9) over the block; one small collect per round
-        page_stats: dict[tuple[str, int], int] = {
-            (r["board"], r["page_no"]): int(r["n_today"] or 0)
-            for r in cand.groupBy("board", "page_no")
-            .agg(F.sum(F.col("today").cast("long")).alias("n_today"))
-            .collect()
-        }
+        # P9 staleness, computed DISTRIBUTED: the sequential per-board
+        # replay is a running-window over (board, page_no) — consecutive
+        # stale streak = distance from the last today-bearing page (with
+        # the previous round's streak carried in). The driver only collects
+        # ONE row per board (next page / streak / active), never the
+        # per-page stats — O(boards), not O(boards × pages).
+        from pyspark.sql import Window as _W
 
-        # sequential replay: find each board's cut page (inclusive); pages
-        # after the cut were fetched speculatively and contribute nothing
-        allowed: dict[str, int] = {}
-        fetched_pages: dict[str, list[int]] = {}
-        for row in rows:
-            fetched_pages.setdefault(row["board"], []).append(row["page_no"])
-        for name, plist in fetched_pages.items():
-            st = state[name]
-            b = by_name[name]
-            last_ok = -1
-            for p in sorted(plist):
-                n_today = page_stats.get((name, p), 0)
-                st.stale = 0 if n_today > 0 else st.stale + 1
-                st.page_no = p + 1
-                last_ok = p
-                if st.stale >= b.stop_n or st.page_no >= b.max_pages:
-                    st.active = False
-                    break
-            allowed[name] = last_ok
-
-        # staleness cut as a broadcast-joined dimension (one row per board;
-        # an OR-chain of predicates would blow the expression tree at
-        # thousands of boards)
-        cuts = spark.createDataFrame(
-            [(name, last_ok) for name, last_ok in allowed.items()],
-            "board string, _max_page int",
+        spine = frontier.select(
+            "board", "page_no", "stop_n", "max_pages", "stale0", "first_page"
         )
+        counts = cand.groupBy("board", "page_no").agg(
+            F.sum(F.col("today").cast("long")).alias("n_today")
+        )
+        ps = spine.join(counts, ["board", "page_no"], "left").na.fill(
+            {"n_today": 0}
+        )
+        w_run = (
+            _W.partitionBy("board")
+            .orderBy("page_no")
+            .rowsBetween(_W.unboundedPreceding, 0)
+        )
+        last_nz = F.max(F.when(F.col("n_today") > 0, F.col("page_no"))).over(w_run)
+        streak = F.when(
+            last_nz.isNull(),
+            F.col("page_no") - F.col("first_page") + 1 + F.col("stale0"),
+        ).otherwise(F.col("page_no") - last_nz)
+        stop = (streak >= F.col("stop_n")) | (
+            F.col("page_no") + 1 >= F.col("max_pages")
+        )
+        ps = ps.select(
+            "board", "page_no", "n_today",
+            streak.alias("streak"), stop.alias("stop"),
+        )
+        per_board = (
+            ps.groupBy("board")
+            .agg(
+                F.min(F.when(F.col("stop"), F.col("page_no"))).alias("cut_page"),
+                F.max("page_no").alias("last_fetched"),
+                F.sum("n_today").alias("n_today_blk"),
+            )
+            .withColumn(
+                "last_ok", F.coalesce(F.col("cut_page"), F.col("last_fetched"))
+            )
+        )
+        board_state = (
+            ps.join(F.broadcast(per_board), on="board")
+            .filter(F.col("page_no") == F.col("last_ok"))
+            .select(
+                "board", "last_ok", "n_today_blk",
+                F.col("cut_page").isNotNull().alias("stopped"),
+                F.col("streak").alias("new_stale"),
+            )
+        )
+        n_today_by_board: dict[str, int] = {}
+        for r in board_state.collect():  # one row per board
+            st = state[r["board"]]
+            st.page_no = int(r["last_ok"]) + 1
+            st.stale = int(r["new_stale"])
+            if r["stopped"]:
+                st.active = False
+            n_today_by_board[r["board"]] = int(r["n_today_blk"] or 0)
+
+        # staleness cut as a broadcast-joined dimension (an OR-chain of
+        # predicates would blow the expression tree at thousands of boards)
+        cuts = per_board.select("board", F.col("last_ok").alias("_max_page"))
 
         # candidates surviving freshness + threshold + staleness cut,
         # deduped in-round (D1/D2)
@@ -352,7 +394,7 @@ def run_crawl(
         # sleep-based schedule would spend on this round's fetches
         # (inter-page delay ~3.5 s avg + per-post delay_s, SURVEY §2.5 P3/P4)
         ref_serial_s = 0.0
-        for (bname, _p), n_today in page_stats.items():
+        for bname, n_today in n_today_by_board.items():
             ref_serial_s += by_name[bname].delay_s * n_today
         ref_serial_s += 3.5 * len(rows)
 
