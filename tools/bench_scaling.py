@@ -17,8 +17,13 @@ LADDER = [8, 32]
 
 
 def run(cpus: int, mode: str) -> dict:
+    # Pin the whole process tree (JVM + Python UDF workers) to exactly
+    # `cpus` cores — local[N] alone schedules N tasks but the JVM scan
+    # threads and N python workers together use ~2N cores, which would
+    # inflate the small-N baseline and understate scaling efficiency.
     out = subprocess.run(
-        [sys.executable, "tools/scaling_job.py", "--cpus", str(cpus),
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, "tools/scaling_job.py", "--cpus", str(cpus),
          "--pages", str(PAGES), "--mode", mode],
         capture_output=True, text=True, cwd="/root/repo", timeout=3600,
     )
