@@ -546,13 +546,21 @@ def synthesize_pages_pandas(total_rows: int, seed: int = DEFAULT_SEED, replicas:
 
 
 def synthesize_pages(spark, total_rows: int, seed: int = DEFAULT_SEED,
-                     partitions: int | None = None, replicas: int = 1):
+                     partitions: int | None = None, replicas: int = 1,
+                     row_lo: int | None = None, row_hi: int | None = None):
     """Distributed generation: ``spark.range`` → ``mapInPandas`` (no shuffle,
-    no driver-side rows; scales linearly with executors)."""
+    no driver-side rows; scales linearly with executors).
+
+    ``row_lo``/``row_hi`` generate only a slice of the [0, total_rows) id
+    space (same layout, so slices from different processes are disjoint and
+    their union is the full table — used by the multi-executor bench).
+    """
     from ..schemas import PAGES
 
     layout = board_layout(total_rows, replicas)
     n = layout[-1]["start"] + layout[-1]["n_rows"] if layout else 0
+    lo = 0 if row_lo is None else max(0, row_lo)
+    hi = n if row_hi is None else min(n, row_hi)
     parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
 
     def _gen(batches):
@@ -562,4 +570,4 @@ def synthesize_pages(spark, total_rows: int, seed: int = DEFAULT_SEED,
             rows = [gen_row(int(i), layout, seed) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
-    return spark.range(0, n, numPartitions=parts).mapInPandas(_gen, schema=PAGES)
+    return spark.range(lo, hi, numPartitions=parts).mapInPandas(_gen, schema=PAGES)

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--mode", choices=["crawl", "extract"], default="crawl")
     ap.add_argument("--repeat", type=int, default=2,
                     help="trials; best wall reported (shared-host noise)")
+    ap.add_argument("--row-lo", type=int, default=None)
+    ap.add_argument("--row-hi", type=int, default=None)
     args = ap.parse_args()
 
     import os
@@ -48,7 +50,8 @@ def main():
     # 10^10 frontier is wide (many hosts), page budgets bound the depth
     replicas = max(1, round(args.pages / (19 * 2800)))
     pages = synthesize_pages(
-        spark, args.pages, partitions=args.cpus * 2, replicas=replicas
+        spark, args.pages, partitions=args.cpus * 2, replicas=replicas,
+        row_lo=args.row_lo, row_hi=args.row_hi,
     ).persist()
     n_rows = pages.count()  # materialize before timing
 
