@@ -71,7 +71,7 @@ def main():
     # (replicated boards — a web-scale frontier grows in hosts, not depth)
     from politics_crawler_spark.sources.synthetic_pages import crawl_boards
 
-    n_pages = max(2000, int(400_000 * sf))
+    n_pages = max(2000, int(4_000_000 * sf))
     replicas = max(1, round(n_pages / (19 * 2800)))
     pages = synthesize_pages(spark, n_pages, replicas=replicas).persist()
     n_rows = pages.count()

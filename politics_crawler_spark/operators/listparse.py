@@ -30,6 +30,7 @@ LIST_ROW = T.StructType(
         T.StructField("views_txt", T.StringType()),
         T.StructField("rec_txt", T.StringType()),
         T.StructField("category", T.StringType()),
+        T.StructField("cmt_txt", T.StringType()),
         T.StructField("is_notice", T.BooleanType()),
         T.StructField("row_idx", T.IntegerType()),
     ]
@@ -58,6 +59,7 @@ def _parse_one(html: bytes | None, encoding: str) -> list[dict]:
         views_td = cell("views")
         rec_td = cell("rec")
         cat_td = cell("cat")
+        cmt_td = cell("cmt")
         writer_td = cell("writer")
         out.append(
             {
@@ -70,6 +72,7 @@ def _parse_one(html: bytes | None, encoding: str) -> list[dict]:
                 "views_txt": views_td.get_text(strip=True) if views_td else "",
                 "rec_txt": rec_td.get_text(strip=True) if rec_td else "",
                 "category": cat_td.get_text(strip=True) if cat_td else "",
+                "cmt_txt": cmt_td.get_text(strip=True) if cmt_td else "",
                 "is_notice": "notice" in tr.classes
                 or (num.get_text(strip=True) in ("공지", "설문", "이벤트") if num else False),
                 "row_idx": i,

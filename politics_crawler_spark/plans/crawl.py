@@ -365,7 +365,12 @@ def run_crawl(
             F.coalesce(
                 F.col("recommend_raw").try_cast("long"), F.col("list_recommend")
             ).alias("recommend"),
-            F.lit(None).cast("long").alias("comments"),
+            # L10: comment counts exist only for instiz/clien/82cook in the
+            # reference (instiz_issue.py:166-174 bracket regex et al.)
+            F.when(
+                F.col("site").isin("instiz", "clien", "82cook"),
+                F.regexp_extract(F.col("cmt_txt"), r"\[?(\d+)\]?", 1).try_cast("long"),
+            ).otherwise(F.lit(None).cast("long")).alias("comments"),
             F.col("content"),
             F.col("images"),
             F.col("status"),

@@ -148,6 +148,7 @@ def post_attrs(b: BoardConfig, j: int, n_detail: int, seed: int) -> dict:
     date = RUN_DT + timedelta(hours=23) - timedelta(seconds=age_s)
     views = rng.randint(0, 3 * b.min_views)
     recommend = rng.randint(0, 500)
+    comments = rng.randint(0, 80)
     category = rng.choice(_CATEGORIES)
     title_words = rng.sample(_WORDS_KO, 3) + [rng.choice(_WORDS_EN)]
     title = " ".join(title_words) + f" {j}"
@@ -158,6 +159,7 @@ def post_attrs(b: BoardConfig, j: int, n_detail: int, seed: int) -> dict:
         "date": date,
         "views": views,
         "recommend": recommend,
+        "comments": comments,
         "writer": rng.choice(_WRITERS),
         "category": category,
         "title": title,
@@ -482,7 +484,7 @@ def render_list(b: BoardConfig, page_no: int, specs: list[dict], seed: int) -> b
         '<tr class="notice"><td class="num">공지</td><td class="title">'
         '<a href="/notice/1">공지사항</a></td><td class="writer">운영자</td>'
         '<td class="date">00:00</td><td class="views">0</td><td class="rec">0</td>'
-        '<td class="cat">공지</td></tr>'
+        '<td class="cat">공지</td><td class="cmt">0</td></tr>'
     ]
     for sp in specs:
         d_txt, d_attr = _fmt_date(b, sp["date"])
@@ -498,7 +500,8 @@ def render_list(b: BoardConfig, page_no: int, specs: list[dict], seed: int) -> b
             f'<td class="date"{title_attr}>{d_txt}</td>'
             f'<td class="views">{_fmt_views(b, sp["views"])}</td>'
             f'<td class="rec">{_fmt_rec(b, sp["recommend"], rng)}</td>'
-            f'<td class="cat">{sp["category"]}</td></tr>'
+            f'<td class="cat">{sp["category"]}</td>'
+            f'<td class="cmt">[{sp["comments"]}]</td></tr>'
         )
     html = (
         '<html><body><table class="board_list">' + "".join(rows) + "</table></body></html>"

@@ -29,7 +29,8 @@ _ROW_RE = re.compile(
     r'<td class="date"(?: title="(?P<dattr>.*?)")?>(?P<dtxt>.*?)</td>'
     r'<td class="views">(?P<views>.*?)</td>'
     r'<td class="rec">(?P<rec>.*?)</td>'
-    r'<td class="cat">(?P<cat>.*?)</td></tr>'
+    r'<td class="cat">(?P<cat>.*?)</td>'
+    r'(?:<td class="cmt">.*?</td>)?</tr>'
 )
 
 

@@ -102,3 +102,13 @@ def test_checkpoint_resume_identical(spark, pages_df, tmp_path, crawl_result):
     full = {r.url for r in crawl_result.extracted.select("url").collect()}
     got = {r.url for r in resumed.extracted.select("url").collect()}
     assert got == full
+
+
+def test_comments_populated_for_l10_sites(crawl_result):
+    """L10: comment counts flow through for instiz/clien/82cook only."""
+    ext = crawl_result.extracted
+    with_c = ext.filter(F.col("community").isin("3", "4", "8"))
+    if with_c.count() > 0:
+        assert with_c.filter(F.col("comments").isNull()).count() == 0
+    others = ext.filter(~F.col("community").isin("3", "4", "8"))
+    assert others.filter(F.col("comments").isNotNull()).count() == 0
