@@ -446,6 +446,20 @@ def q30_lag_window(spark, sf):
     )
 
 
+def q31_ngram_jaccard(spark, sf):
+    """Exact word-3-gram Jaccard near-dup pairs on a bounded slice
+    (operators/dedup.py::ngram_jaccard_pairs), oracle-verified."""
+    from politics_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = _t(spark, sf, "documents").filter(F.col("doc_id") < 120).select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.lit("dup marker "), F.col("text")).alias("text"),
+    )
+    d = base.unionByName(dups)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -478,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_images_json": q28_images_json,
         "q29_text_cleanup": q29_text_cleanup,
         "q30_lag_window": q30_lag_window,
+        "q31_ngram_jaccard": q31_ngram_jaccard,
     }
 
 
@@ -682,5 +697,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE gap_us IS NOT NULL
             GROUP BY user_id ORDER BY user_id
+        """,
+        "q31_ngram_jaccard": r"""
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 3, 0) + 2),
+                           i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS grams,
+                       CAST(length(text) // 100 AS INT) AS lb
+                FROM (
+                    SELECT doc_id, text, string_split_regex(text, '\s+') AS w FROM (
+                        SELECT doc_id, text FROM documents WHERE doc_id < 120
+                        UNION ALL
+                        SELECT doc_id + 2000000, 'dup marker ' || text
+                        FROM documents WHERE doc_id < 120 AND doc_id % 13 = 0
+                    )
+                )
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM g a JOIN g b ON a.lb = b.lb AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            ORDER BY id_a, id_b
         """,
     }
