@@ -112,3 +112,31 @@ def test_comments_populated_for_l10_sites(crawl_result):
         assert with_c.filter(F.col("comments").isNull()).count() == 0
     others = ext.filter(~F.col("community").isin("3", "4", "8"))
     assert others.filter(F.col("comments").isNotNull()).count() == 0
+
+
+def test_frontier_equivalence_wide_frontier(spark):
+    """Ordering/set equivalence also holds on a replicated (wide) frontier
+    — the configuration the scale benchmarks run."""
+    from politics_crawler_spark.schemas import PAGES
+    from politics_crawler_spark.sources.synthetic_pages import (
+        crawl_boards,
+        synthesize_pages_pandas,
+    )
+
+    pdf = synthesize_pages_pandas(3000, replicas=3)
+    boards = crawl_boards(3)
+    df = spark.createDataFrame(pdf, schema=PAGES).cache()
+    res = run_crawl(spark, df, boards=boards, n_shards=8, keep_lineage=True)
+
+    pages_map = dict(zip(pdf["url"], pdf["html"]))
+    sim_order, sim_seen = simulate(pages_map, boards, RUN_DATE)
+    got = {r.url for r in res.extracted.select("url").collect()}
+    assert got == sim_seen
+    eng = [
+        r.url
+        for r in res.extracted.orderBy("site_rank", "page_no", "row_idx")
+        .select("url")
+        .collect()
+    ]
+    assert eng == [u for (_, _, _, u) in sorted(sim_order)]
+    df.unpersist()
