@@ -30,6 +30,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # flagship
 # --------------------------------------------------------------------------
 
+def _graded_extracted(extracted: DataFrame) -> DataFrame:
+    """Driver-gradable projection of the EXTRACTED schema: the ArrayType
+    ``images`` column is serialized to JSON (K6 semantics, exactly what the
+    reference's DB loader does — crawler_schedule.py:271-277) because the
+    driver's result canonicalizer hashes flat values only."""
+    cols = [c for c in extracted.columns if c != "images"]
+    return extracted.select(
+        *cols,
+        F.when(F.col("images").isNull(), F.lit("[]"))
+        .otherwise(F.to_json(F.col("images")))
+        .alias("images_json"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full crawl engine on a synthetic pages snapshot."""
     from politics_crawler_spark.plans.crawl import run_crawl
@@ -37,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     pages = synthesize_pages(spark, 1500).cache()
     res = run_crawl(spark, pages, n_shards=8)
-    return res.extracted
+    return _graded_extracted(res.extracted)
 
 
 # --------------------------------------------------------------------------
@@ -283,7 +297,7 @@ def q18_crawl_flagship(spark, sf):
     from politics_crawler_spark.sources.synthetic_pages import synthesize_pages
 
     pages = synthesize_pages(spark, 1500)
-    return run_crawl(spark, pages, n_shards=8).extracted
+    return _graded_extracted(run_crawl(spark, pages, n_shards=8).extracted)
 
 
 def q19_extract_fullscan(spark, sf):
@@ -396,8 +410,13 @@ def q27_conditional_agg(spark, sf):
     return (
         e.groupBy("user_id")
         .agg(
-            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
-            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+            # BIGINT pin on both sides: Spark sum(int)→BIGINT but DuckDB
+            # sum(int)→HUGEINT/int128; the driver's value hash is
+            # type-sensitive (CORRECTNESS_r01 q27 hash_match=false).
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long").alias("clicks"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long").alias("errors"),
             F.max("ts").alias("last_seen"),
         )
         .orderBy("user_id")
@@ -672,8 +691,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q27_conditional_agg": """
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
                    max(ts) AS last_seen
             FROM events GROUP BY user_id ORDER BY user_id
         """,

@@ -17,17 +17,44 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-faithful canonicalization. Mirrors the two driver behaviors the
+    round-1 stringify-canon hid:
+    - sort on RAW values first (pandas factorize — raises TypeError on
+      unhashable cells like lists/ndarrays, exactly like the driver's
+      canonicalizer did on q18's images array);
+    - compare numeric TYPE KIND, not just rendered text (Spark BIGINT vs
+      DuckDB HUGEINT→float both render '5' but hash differently in the
+      driver — q27 hash_match=false).
+    """
+    import numpy as np
+
     df = df.reindex(sorted(df.columns), axis=1)
+    # raw sort via per-column Categorical codes — the driver's exact
+    # mechanism (lexsort_indexer → Categorical → factorize); nulls get
+    # code -1 and sort first, unhashables raise TypeError as in the driver
+    keys = [pd.Categorical(df[c], ordered=True).codes for c in df.columns]
+    idx = np.lexsort(list(reversed(keys))) if keys else np.arange(len(df))
+    df = df.iloc[idx].reset_index(drop=True)
 
     def norm(v):
         if isinstance(v, float):
-            return f"{v:.10g}"
+            return f"f:{v:.10g}"
+        if isinstance(v, (int,)) and not isinstance(v, bool):
+            return f"i:{v}"
         if isinstance(v, (list, tuple)):
             return str([norm(x) for x in v])
         return str(v)
 
-    out = df.map(norm)
-    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    out = pd.DataFrame(index=df.index)
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            out[c] = col.map(lambda v: f"f:{v:.10g}")
+        elif col.dtype.kind in ("i", "u"):
+            out[c] = col.map(lambda v: f"i:{v}")
+        else:
+            out[c] = col.map(norm)
+    return out
 
 
 def main():
@@ -58,7 +85,12 @@ def main():
             print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             continue
         if sql is None:
-            print(f"{name}: rows-only, spark rows={len(sdf)}")
+            try:  # driver still canonicalizes rows-only results — prove it survives
+                canon(sdf)
+                print(f"{name}: rows-only, spark rows={len(sdf)} (canon ok)")
+            except Exception as e:
+                failures.append(name)
+                print(f"{name}: rows-only CANON ERROR {type(e).__name__}: {str(e)[:200]}")
             continue
         try:
             ddf = con.sql(sql).df()
