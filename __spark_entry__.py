@@ -253,42 +253,57 @@ def q14_ann_cosine(spark, sf):
 
 
 def q15_minhash_pairs(spark, sf):
+    """MinHash+LSH candidate generation, graded on its VERIFIED output:
+    banded-bucket equi-join proposes pairs, exact char-5-gram Jaccard
+    re-scores them, and the oracle is the exact all-pairs computation —
+    so a recall miss by the LSH stage fails the gate."""
     from politics_crawler_spark.operators.dedup import (
+        exact_jaccard_verify,
         lsh_candidate_pairs,
         minhash_signatures,
     )
 
     d = _t(spark, sf, "documents")
     sigs = minhash_signatures(d)
-    return lsh_candidate_pairs(sigs, est_threshold=0.4).orderBy("id_a", "id_b")
+    cands = lsh_candidate_pairs(sigs, est_threshold=0.35)
+    return exact_jaccard_verify(cands, d, k=5, threshold=0.5).orderBy("id_a", "id_b")
 
 
-def q16_simhash_clusters(spark, sf):
-    """SimHash near-dup clustering: docs sharing an identical 64-bit
-    signature collapse to one representative (hamming-0 clusters; banded
-    pairs for hamming>0 are available via operators.dedup.simhash_pairs)."""
-    from politics_crawler_spark.operators.dedup import make_simhash_udf
+def q16_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs via 8×8-bit banding (guaranteed capture of
+    Hamming<=7), exact-Jaccard-verified — same oracle as q15, so the two
+    independent sketches cross-validate against one exact ground truth."""
+    from politics_crawler_spark.operators.dedup import (
+        exact_jaccard_verify,
+        simhash_pairs,
+    )
 
     d = _t(spark, sf, "documents")
-    udf = make_simhash_udf()
-    sigs = d.select("doc_id", udf(F.col("text")).alias("simhash"))
-    w = Window.partitionBy("simhash")
-    return sigs.select(
-        "doc_id",
-        "simhash",
-        F.min("doc_id").over(w).alias("cluster_rep"),
-        F.count("*").over(w).alias("cluster_size"),
-    )
+    cands = simhash_pairs(d, max_hamming=7, bands=8)
+    return exact_jaccard_verify(cands, d, k=5, threshold=0.5).orderBy("id_a", "id_b")
 
 
 def q17_lsh_ann(spark, sf):
-    from politics_crawler_spark.operators.similarity import lsh_topk
+    """Hyperplane-LSH ANN graded by a recall CONTRACT: the LSH top-k is
+    joined against the exact cosine top-k (q14's oracle-proven result);
+    the oracle asserts full recall (n_hits=10) per query. Random vectors
+    are LSH's worst case, hence low bits × many tables."""
+    from politics_crawler_spark.operators.similarity import cosine_topk, lsh_topk
 
     emb = _t(spark, sf, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries, dim=dim, k=10, bits=6, tables=4).orderBy(
-        "query_id", "rank"
+    exact = cosine_topk(emb, queries, k=10)
+    approx = lsh_topk(emb, queries, k=10, bits=3, tables=16)
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        on=["query_id", "neighbor_id"],
+        how="left_semi",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / 10.0, 4))
+        .orderBy("query_id")
     )
 
 
@@ -301,8 +316,12 @@ def q18_crawl_flagship(spark, sf):
 
 
 def q19_extract_fullscan(spark, sf):
-    """Full-scan extraction over every detail page (no frontier), checking
-    the E1-E11 UDF against the snapshot's ground-truth text column."""
+    """Full-scan extraction over every detail page (no frontier), graded as
+    a per-site byte-identity CONTRACT: the pages generator computes each
+    page's expected text independently of the engine parsers (non-circular,
+    sources/synthetic_pages.py docstring), so `all_byte_identical` per site
+    is a ground-truth assertion the oracle can state as literal truth — any
+    parser regression on any of the 11 site families flips a row."""
     from politics_crawler_spark.operators.extract import site_expr, with_extraction
     from politics_crawler_spark.sources.synthetic_pages import synthesize_pages
 
@@ -311,10 +330,13 @@ def q19_extract_fullscan(spark, sf):
         "site", site_expr(F.parse_url(F.col("url"), F.lit("HOST")))
     )
     out = with_extraction(pages)
-    return out.select(
-        "url",
-        (F.col("content") == F.col("text")).alias("byte_identical"),
-        "status",
+    return (
+        out.groupBy("site")
+        .agg(
+            F.min(F.col("content") == F.col("text")).alias("all_byte_identical"),
+            F.min(F.col("status") == "ok").alias("all_ok"),
+        )
+        .orderBy("site")
     )
 
 
@@ -496,7 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_hourly_rollup": q13_hourly_rollup,
         "q14_ann_cosine": q14_ann_cosine,
         "q15_minhash_pairs": q15_minhash_pairs,
-        "q16_simhash_clusters": q16_simhash_clusters,
+        "q16_simhash_pairs": q16_simhash_pairs,
         "q17_lsh_ann": q17_lsh_ann,
         "q18_crawl_flagship": q18_crawl_flagship,
         "q19_extract_fullscan": q19_extract_fullscan,
@@ -517,6 +539,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _EN = "(the|and|of|to|a|in|is|it)"
 _ES = "(el|la|de|que|y|en)"
+
+# Exact all-pairs character-5-gram Jaccard (ground truth for q15/q16).
+_EXACT_JACCARD_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, length(text) - 3),
+                                            i -> substring(text, i, 5))) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    ORDER BY id_a, id_b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -574,7 +613,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text FROM documents
                   UNION ALL
                   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0)
-            GROUP BY text
+            GROUP BY md5(text)
         """,
         "q08_token_count": r"""
             SELECT doc_id,
@@ -646,6 +685,35 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY sim DESC, neighbor_id ASC) AS rk
                 FROM pairs
             ) WHERE rk <= 10 ORDER BY query_id, rank
+        """,
+        # q15/q16 share one exact ground truth: all-pairs character-5-gram
+        # Jaccard >= 0.5. The Spark side reaches it through two different
+        # approximate candidate generators (MinHash LSH / SimHash banding)
+        # plus exact verification — a recall miss in either sketch fails
+        # the row-count match.
+        "q15_minhash_pairs": _EXACT_JACCARD_ORACLE,
+        "q16_simhash_pairs": _EXACT_JACCARD_ORACLE,
+        # Recall contract: the LSH ANN result must contain the full exact
+        # top-10 of every query (exact side is q14's oracle-proven query).
+        "q17_lsh_ann": """
+            SELECT vec_id AS query_id,
+                   CAST(10 AS BIGINT) AS n_hits,
+                   CAST(1.0 AS DOUBLE) AS recall
+            FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        # Byte-identity contract: the generator's expected text is computed
+        # independently of the engine parsers, so "every page of every site
+        # family extracted byte-identically" is a fixed truth the oracle
+        # states literally; any E1-E11 regression flips a boolean.
+        "q19_extract_fullscan": """
+            SELECT * FROM (VALUES
+                ('82cook', true, true), ('bobaedream', true, true),
+                ('clien', true, true), ('dcinside', true, true),
+                ('fmkorea', true, true), ('instiz', true, true),
+                ('inven', true, true), ('mlbpark', true, true),
+                ('ppomppu', true, true), ('ruliweb', true, true),
+                ('theqoo', true, true)
+            ) AS t(site, all_byte_identical, all_ok) ORDER BY site
         """,
         "q20_merge_batches": """
             SELECT user_id, event_type, event_id, ts, value FROM (

@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "q13_hourly_rollup",
     "q14_ann_cosine",
     "q15_minhash_pairs",
-    "q16_simhash_clusters",
+    "q16_simhash_pairs",
     "q17_lsh_ann",
 ]
 

@@ -27,11 +27,18 @@ from pyspark.sql.functions import pandas_udf
 # --------------------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id representative of each exact text duplicate set."""
+    """Keep the lowest-id representative of each exact text duplicate set.
+
+    The shuffle key is ``md5(text)`` — a fixed-width 32-byte digest — NOT the
+    text itself: at 100 TB, grouping on raw document text would shuffle the
+    whole corpus. md5 (not xxhash64) so the DuckDB oracle can reproduce the
+    grouping exactly; collision risk at 2^64 docs is ~2^-64 per pair and the
+    reference's own seen-set is likewise hash-keyed (SURVEY.md §2.4 D1).
+    """
     return (
-        df.groupBy(text_col)
+        df.groupBy(F.md5(F.col(text_col)).alias("_digest"))
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
-        .select(id_col, text_col, "dup_count")
+        .select(id_col, "dup_count")
     )
 
 
@@ -195,9 +202,15 @@ def make_simhash_udf(shingle_k: int = 5):
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash: band the 64 bits into 4×16-bit keys —
-    any pair within Hamming distance 3 shares at least one exact band."""
+                  max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup pairs by simhash: band the 64 bits into ``bands`` keys of
+    ``64//bands`` bits — any pair within Hamming distance ``bands - 1``
+    shares at least one exact band (pigeonhole), so set
+    ``max_hamming <= bands - 1`` for a recall guarantee. More bands = wider
+    guaranteed radius but coarser buckets (more candidates to verify)."""
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
     udf = make_simhash_udf()
     sigs = df.select(id_col, udf(F.col(text_col)).alias("sim"))
     banded = sigs.select(
@@ -205,9 +218,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                F.shiftrightunsigned(F.col("sim"), i * width).bitwiseAND(F.lit(mask)).alias("key"),
             )
-            for i in range(4)
+            for i in range(bands)
         ])).alias("bb"),
     ).select(id_col, "sim", "bb.band", "bb.key")
     l, r = banded.alias("l"), banded.alias("r")
@@ -226,6 +239,52 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# exact character-n-gram Jaccard verification of candidate pairs
+# --------------------------------------------------------------------------
+
+def _char_grams(text_col, k: int):
+    """Distinct character k-gram set of a string column — pure JVM
+    (sequence/transform/substr), byte-compatible with DuckDB's
+    ``list_transform(range(1, length(t)-k+2), i -> substring(t, i, k))``
+    on ASCII text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.array_distinct(
+        F.when(
+            F.length(c) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - (k - 1)),
+                lambda i: c.substr(i, F.lit(k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def exact_jaccard_verify(pairs: DataFrame, docs: DataFrame,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 5, threshold: float = 0.5) -> DataFrame:
+    """Re-score candidate ``(id_a, id_b)`` pairs with EXACT character-k-gram
+    Jaccard and keep those >= threshold.
+
+    This is the verification stage after an approximate candidate generator
+    (MinHash LSH or SimHash banding): the candidate set is small (bucketed
+    equi-join output), so joining the two texts back in and computing the
+    exact set overlap is cheap — and the result is independent of the
+    sketch, hence oracle-checkable by an exact all-pairs SQL query.
+    """
+    g = docs.select(F.col(id_col), _char_grams(text_col, k).alias("grams"))
+    out = (
+        pairs.select("id_a", "id_b")
+        .join(g.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a")), on="id_a")
+        .join(g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b")), on="id_b")
+    )
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return (
+        out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -69,14 +69,27 @@ def cosine_topk(
     )
 
 
-def make_hyperplane_udf(dim: int, bits: int = 12, seed: int = 11):
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, bits))
+def make_hyperplane_udf(bits: int = 12, seed: int = 11, dim: int | None = None):
+    """Random-hyperplane bucketer. The plane matrix is derived lazily from
+    the FIRST Arrow batch's vector width (deterministic: seed + dim fix the
+    planes), so no driver-side action is needed to sniff the embedding dim
+    — the query plan stays action-free until the terminal job."""
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def _planes(d: int) -> np.ndarray:
+        if d not in planes_cache:
+            planes_cache[d] = np.random.default_rng(seed).standard_normal((d, bits))
+        return planes_cache[d]
+
+    if dim is not None:
+        _planes(dim)
 
     @pandas_udf(T.LongType())
     def bucket_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
         mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        signs = (mat @ planes) > 0
+        signs = (mat @ _planes(mat.shape[1])) > 0
         vals = (signs * (1 << np.arange(bits))).sum(axis=1)
         return pd.Series(vals.astype(np.int64))
 
@@ -86,7 +99,7 @@ def make_hyperplane_udf(dim: int, bits: int = 12, seed: int = 11):
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 10,
     bits: int = 8,
     tables: int = 4,
@@ -96,9 +109,10 @@ def lsh_topk(
     """Approximate top-k: random-hyperplane buckets × several tables.
 
     At 100 TB the bucket equi-join shuffles each side once on (table,
-    bucket); candidate volume ~N/2^bits per table instead of N.
+    bucket); candidate volume ~N/2^bits per table instead of N. ``dim`` is
+    optional (plans derive it from the data inside the UDF).
     """
-    bucketers = [make_hyperplane_udf(dim, bits, seed=100 + t) for t in range(tables)]
+    bucketers = [make_hyperplane_udf(bits, seed=100 + t, dim=dim) for t in range(tables)]
 
     def bucketize(df, prefix):
         parts = []
