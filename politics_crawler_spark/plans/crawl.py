@@ -186,8 +186,30 @@ def run_crawl(
             seen = spark.read.parquet(
                 os.path.join(checkpoint_dir, f"seen/v{ckpt['round']}")
             ).localCheckpoint(eager=True)
-            prev = spark.read.parquet(os.path.join(checkpoint_dir, "extracted"))
-            extracted_parts.append(prev.select(*EXTRACTED.fieldNames()))
+            # Load ONLY committed rounds and delete orphans: a kill inside
+            # _commit_round (after the parquet writes, before the state.json
+            # rename) leaves a round=K dir newer than state.json; reading the
+            # whole directory would pin its file listing into `prev`, then
+            # round K's recompute overwrites those files mid-plan
+            # (FileNotFoundException / duplicated rows at the terminal
+            # action) — exactly the crash window checkpointing must cover.
+            import shutil
+
+            ex_dir = os.path.join(checkpoint_dir, "extracted")
+            for d in os.listdir(ex_dir):
+                if d.startswith("round=") and int(d.split("=")[1]) > ckpt["round"]:
+                    shutil.rmtree(os.path.join(ex_dir, d))
+            seen_dir = os.path.join(checkpoint_dir, "seen")
+            for d in os.listdir(seen_dir):
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) > ckpt["round"]:
+                    shutil.rmtree(os.path.join(seen_dir, d))
+            committed = [
+                os.path.join(ex_dir, f"round={i}") for i in range(ckpt["round"] + 1)
+                if os.path.isdir(os.path.join(ex_dir, f"round={i}"))
+            ]
+            if committed:
+                prev = spark.read.parquet(*committed)
+                extracted_parts.append(prev.select(*EXTRACTED.fieldNames()))
 
     pages_slim = pages.select("url", "html", "warc_ts")
     # Politeness salt factors from the snapshot's host distribution — one

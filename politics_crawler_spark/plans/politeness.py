@@ -28,13 +28,21 @@ def host_salt_plan(
 ) -> dict[str, int]:
     """One ``groupBy(host).count()`` pre-pass → per-host salt factors.
 
-    Hosts under the target keep salt_n=1 (stable single-task politeness);
-    mega-hosts split into ``ceil(count/target)`` sub-partitions. Compute this
-    ONCE per snapshot (host distribution is stable across depth rounds) and
-    reuse — the result is one small dict, broadcast into each round's plan as
-    a literal map.
+    Only MEGA-hosts (count > target) are collected; everything else defaults
+    to salt_n=1 via the ``coalesce(map[host], 1)`` lookup in
+    :func:`salted_repartition_by_host`. At a web-scale frontier (millions of
+    hosts, north_rule) collecting every host would be a multi-million-row
+    driver collect AND a multi-million-entry Catalyst literal map — the
+    filter keeps both O(#mega-hosts), which skew distributions keep tiny
+    (the hosts that matter are exactly the heavy tail). Compute ONCE per
+    snapshot (host distribution is stable across depth rounds) and reuse.
     """
-    rows = df.groupBy(host_col).count().collect()
+    rows = (
+        df.groupBy(host_col)
+        .count()
+        .filter(F.col("count") > target_rows_per_task)  # mega-hosts only
+        .collect()
+    )
     return {
         r[host_col]: max(1, -(-int(r["count"]) // target_rows_per_task)) for r in rows
     }

@@ -104,6 +104,33 @@ def test_checkpoint_resume_identical(spark, pages_df, tmp_path, crawl_result):
     assert got == full
 
 
+def test_checkpoint_resume_with_orphan_round(spark, pages_df, tmp_path, crawl_result):
+    """Kill-inside-commit window: a round=K dir written AFTER the last
+    state.json rename (orphan) must be ignored AND cleaned on resume —
+    otherwise its pinned file listing collides with round K's recompute."""
+    import os
+    import shutil
+
+    ck = str(tmp_path / "ck_orphan")
+    run_crawl(
+        spark, pages_df, n_shards=8, max_rounds=2, checkpoint_dir=ck, pages_per_round=2
+    )
+    # simulate the crash: replay round=1's artifacts as an orphan round=2
+    # (parquet written, state.json NOT advanced), with poisoned content
+    shutil.copytree(
+        os.path.join(ck, "extracted/round=1"), os.path.join(ck, "extracted/round=2")
+    )
+    shutil.copytree(os.path.join(ck, "seen/v1"), os.path.join(ck, "seen/v2"))
+
+    resumed = run_crawl(
+        spark, pages_df, n_shards=8, checkpoint_dir=ck, pages_per_round=2
+    )
+    full = {r.url for r in crawl_result.extracted.select("url").collect()}
+    got = [r.url for r in resumed.extracted.select("url").collect()]
+    assert set(got) == full
+    assert len(got) == len(full)  # no duplicated rows from the orphan
+
+
 def test_comments_populated_for_l10_sites(crawl_result):
     """L10: comment counts flow through for instiz/clien/82cook only."""
     ext = crawl_result.extracted

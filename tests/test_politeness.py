@@ -21,7 +21,22 @@ def test_salt_plan_splits_only_mega_hosts(spark):
     df = _cand(spark)
     plan = host_salt_plan(df, target_rows_per_task=100)
     assert plan["mega.com"] == 9
-    assert plan["tiny.org"] == 1
+    # non-mega hosts are NOT collected (default to salt_n=1 at lookup time)
+    assert "tiny.org" not in plan
+
+
+def test_salt_plan_bounded_on_wide_frontier(spark):
+    """At a web-scale frontier (thousands of hosts) the collected plan must
+    stay O(#mega-hosts) — a full per-host dict would be a multi-million-row
+    collect plus a Catalyst literal-map blowup at north_rule scale."""
+    rows = [(f"h{i}.example.com", f"https://h{i}.example.com/p") for i in range(5000)]
+    rows += [("mega.com", f"https://mega.com/{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    plan = host_salt_plan(df, target_rows_per_task=100)
+    assert plan == {"mega.com": 4}  # 1 entry for 5001 hosts (<1%)
+    # lookup path still salts the mega-host and defaults the rest to 1
+    out = salted_repartition_by_host(df, salt_plan=plan, num_partitions=8)
+    assert out.count() == len(rows)
 
 
 def test_salted_repartition_bounds_per_task_host_rows(spark):
