@@ -29,6 +29,7 @@ def extract_udf(site: pd.Series, html: pd.Series, url: pd.Series) -> pd.DataFram
                 "recommend_raw": r.recommend,
                 "actual_date": r.actual_date,
                 "status": r.status,
+                "post_id_rec": r.post_id,
             }
         )
     return pd.DataFrame(rows, columns=list(EXTRACT_RESULT.fieldNames()))

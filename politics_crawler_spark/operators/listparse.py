@@ -31,6 +31,9 @@ LIST_ROW = T.StructType(
         T.StructField("rec_txt", T.StringType()),
         T.StructField("category", T.StringType()),
         T.StructField("cmt_txt", T.StringType()),
+        # theqoo a.replyNum — the reference stores it as Recommend
+        # (theqoo_hotboard.py:145-147,160)
+        T.StructField("reply_txt", T.StringType()),
         T.StructField("is_notice", T.BooleanType()),
         T.StructField("row_idx", T.IntegerType()),
     ]
@@ -61,6 +64,7 @@ def _parse_one(html: bytes | None, encoding: str) -> list[dict]:
         cat_td = cell("cat")
         cmt_td = cell("cmt")
         writer_td = cell("writer")
+        reply_a = tr.find("a", class_="replyNum")
         out.append(
             {
                 "post_no": num.get_text(strip=True) if num else "",
@@ -73,6 +77,7 @@ def _parse_one(html: bytes | None, encoding: str) -> list[dict]:
                 "rec_txt": rec_td.get_text(strip=True) if rec_td else "",
                 "category": cat_td.get_text(strip=True) if cat_td else "",
                 "cmt_txt": cmt_td.get_text(strip=True) if cmt_td else "",
+                "reply_txt": reply_a.get_text(strip=True) if reply_a else "",
                 "is_notice": "notice" in tr.classes
                 or (num.get_text(strip=True) in ("공지", "설문", "이벤트") if num else False),
                 "row_idx": i,

@@ -214,13 +214,26 @@ _TOKEN_RE = re.compile(
 )
 
 
+# Raw-text (CDATA) elements: their content is ONE text child scanned
+# straight to the matching close tag, never tokenized — html.parser's
+# CDATA_CONTENT_ELEMENTS behavior. Without this, '<' inside scripts
+# (comparisons, HTML-in-JS strings) produces phantom nodes that diverge
+# from the reference's bs4 extraction.
+_RAW_CLOSE = {
+    t: re.compile(rf"</{t}(?=[\s/>])[^>]*>", re.IGNORECASE)
+    for t in ("script", "style")
+}
+
+
 def parse_html(text: str) -> Node:
     """Parse an HTML string into a document Node (bs4 ``Soup(...)`` stand-in)."""
     root = Node("[document]")
     stack = [root]
     pos = 0
-    append_top = None
-    for m in _TOKEN_RE.finditer(text):
+    while True:
+        m = _TOKEN_RE.search(text, pos)
+        if m is None:
+            break
         start = m.start()
         if start > pos:
             data = text[pos:start]
@@ -241,6 +254,14 @@ def parse_html(text: str) -> Node:
         node = Node(tag, parent=stack[-1], attrs_raw=m.group(3))
         stack[-1].children.append(node)
         if not m.group(4) and tag not in _VOID:
+            raw_close = _RAW_CLOSE.get(tag)
+            if raw_close is not None:  # script/style: raw-text to close tag
+                c = raw_close.search(text, pos)
+                raw = text[pos : c.start()] if c else text[pos:]
+                if raw:
+                    node.children.append(raw)  # no entity decode (CDATA)
+                pos = c.end() if c else len(text)
+                continue
             stack.append(node)
     if pos < len(text):
         data = text[pos:]

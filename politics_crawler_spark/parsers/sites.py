@@ -54,6 +54,7 @@ class ExtractResult:
     recommend: str | None = None  # raw text; numeric parse happens in functions/
     actual_date: datetime | None = None
     status: str = STATUS_OK
+    post_id: str | None = None  # detail-page-recovered id (bobaedream ipAdd)
 
 
 # --------------------------------------------------------------------------
@@ -262,15 +263,31 @@ def extract_82cook(soup: Node, url: str) -> ExtractResult:
 # E10 bobaedream — div.bodyCont | div.bbs_content | div#bodyCont
 # --------------------------------------------------------------------------
 
+_BOBAE_NO_RE = re.compile(r"No=(\d+)")  # bobaedream_bestboard.py:26-30
+
+
 def extract_bobaedream(soup: Node, url: str) -> ExtractResult:
+    # bestboard recovers the post id from the copy-address widget
+    # (p.copyAddress > button.ipAdd text → No=(\d+),
+    # bobaedream_bestboard.py:43-48); the caller prefers it over the
+    # list-URL-derived id (`final_post_id = content_data.get("post_id")
+    # or post_id`, :123-126)
+    post_id = None
+    copy_address = soup.find("p", class_="copyAddress")
+    if copy_address is not None:
+        button = copy_address.find("button", class_="ipAdd")
+        if button is not None:
+            m = _BOBAE_NO_RE.search(button.get_text(strip=True))
+            if m:
+                post_id = m.group(1)
     div = (
         soup.find("div", class_="bodyCont")
         or soup.find("div", class_="bbs_content")
         or soup.find("div", id="bodyCont")  # bobaedream_bestboard.py:50
     )
     if div is None:
-        return ExtractResult(NO_CONTENT, status=STATUS_NO_CONTENT)
-    return ExtractResult(_text(div), _https_prefix(_imgs(div)))
+        return ExtractResult(NO_CONTENT, status=STATUS_NO_CONTENT, post_id=post_id)
+    return ExtractResult(_text(div), _https_prefix(_imgs(div)), post_id=post_id)
 
 
 # --------------------------------------------------------------------------

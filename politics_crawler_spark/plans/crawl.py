@@ -371,8 +371,12 @@ def run_crawl(
         out = ext.select(
             F.col("url"),
             F.col("community"),
-            F.when(F.col("post_no") != "", F.col("post_no")).otherwise(
-                F.lit("N/A")
+            # detail-page-recovered id wins over the list-derived one
+            # (bobaedream ipAdd: bobaedream_bestboard.py:123-126)
+            F.coalesce(
+                F.col("post_id_rec"),
+                F.when(F.col("post_no") != "", F.col("post_no")),
+                F.lit("N/A"),
             ).alias("post_id"),
             F.col("category"),
             # L8: dcinside strips its "[category]" title prefix
@@ -384,9 +388,25 @@ def run_crawl(
             F.col("writer"),
             F.coalesce(F.col("actual_date"), F.col("date")).alias("date"),
             F.col("views"),
-            F.coalesce(
-                F.col("recommend_raw").try_cast("long"), F.col("list_recommend")
-            ).alias("recommend"),
+            # theqoo quirk FROZEN from the reference: the reply count
+            # (a.replyNum) is stored in the Recommend field, int-if-digits
+            # else 0 (theqoo_hotboard.py:145-147,160)
+            F.when(
+                F.col("site") == "theqoo",
+                F.coalesce(
+                    F.when(
+                        F.col("reply_txt").rlike(r"^\d+$"),
+                        F.col("reply_txt").cast("long"),
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .otherwise(
+                F.coalesce(
+                    F.col("recommend_raw").try_cast("long"), F.col("list_recommend")
+                )
+            )
+            .alias("recommend"),
             # L10: comment counts exist only for instiz/clien/82cook in the
             # reference (instiz_issue.py:166-174 bracket regex et al.)
             F.when(

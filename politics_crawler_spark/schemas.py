@@ -123,5 +123,7 @@ EXTRACT_RESULT = T.StructType(
         T.StructField("recommend_raw", T.StringType(), True),
         T.StructField("actual_date", T.TimestampType(), True),
         T.StructField("status", T.StringType(), True),
+        # detail-page-recovered post id (bobaedream ipAdd, L6 variant)
+        T.StructField("post_id_rec", T.StringType(), True),
     ]
 )

@@ -413,7 +413,18 @@ def render_detail(b: BoardConfig, attrs: dict, seed: int) -> tuple[bytes, str, l
         container = rng.choice(
             ['<div class="bodyCont">', '<div class="bbs_content">', '<div id="bodyCont">']
         )
-        html = f"<html><body>{container}{''.join(body_ps)}{img_tags}</div></body></html>"
+        # copy-address widget OUTSIDE the content container (bestboard's
+        # post-id recovery source, bobaedream_bestboard.py:43-48); its text
+        # must not leak into the extracted content
+        copy_addr = (
+            f'<p class="copyAddress"><button class="ipAdd">'
+            f'https://{b.host}/view?code={b.board}&amp;No={attrs["post_no"]}'
+            f"</button></p>"
+        )
+        html = (
+            f"<html><body>{copy_addr}{container}{''.join(body_ps)}{img_tags}"
+            "</div></body></html>"
+        )
         expected = "\n".join(pieces)
         eimgs = [
             "https:" + src if src.startswith("//") else src for src, _ in imgs
@@ -493,6 +504,10 @@ def render_list(b: BoardConfig, page_no: int, specs: list[dict], seed: int) -> b
         # a sprinkling of javascript:/ad hrefs exercises the F1 gate
         if rng.random() < 0.03:
             link = "javascript:void(0);"
+        if b.site == "theqoo":  # reply count rendered as the a.replyNum
+            cmt = f'<a class="replyNum">{sp["comments"]}</a>'  # widget (theqoo_hotboard.py:145)
+        else:
+            cmt = f'[{sp["comments"]}]'
         rows.append(
             f'<tr><td class="num">{sp["post_no"]}</td>'
             f'<td class="title"><a href="{link}">{sp["title"]}</a></td>'
@@ -501,7 +516,7 @@ def render_list(b: BoardConfig, page_no: int, specs: list[dict], seed: int) -> b
             f'<td class="views">{_fmt_views(b, sp["views"])}</td>'
             f'<td class="rec">{_fmt_rec(b, sp["recommend"], rng)}</td>'
             f'<td class="cat">{sp["category"]}</td>'
-            f'<td class="cmt">[{sp["comments"]}]</td></tr>'
+            f'<td class="cmt">{cmt}</td></tr>'
         )
     html = (
         '<html><body><table class="board_list">' + "".join(rows) + "</table></body></html>"

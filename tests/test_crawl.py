@@ -141,6 +141,42 @@ def test_comments_populated_for_l10_sites(crawl_result):
     assert others.filter(F.col("comments").isNotNull()).count() == 0
 
 
+def test_theqoo_replynum_stored_as_recommend(crawl_result):
+    """theqoo quirk frozen from the reference: Recommend carries the list
+    row's a.replyNum count (theqoo_hotboard.py:145-147,160). Ground truth
+    reconstructed from the deterministic generator."""
+    from politics_crawler_spark.sources.synthetic_pages import (
+        board_layout,
+        detail_url,
+        post_attrs,
+    )
+
+    layout = board_layout(2500)
+    expected = {}
+    for sl in layout:
+        b = sl["board"]
+        if b.site != "theqoo":
+            continue
+        for j in range(sl["n_detail"]):
+            a = post_attrs(b, j, sl["n_detail"], 42)
+            expected[detail_url(b, a["post_no"])] = a["comments"]
+    rows = crawl_result.extracted.filter(F.col("community") == "2").collect()
+    assert rows, "no theqoo rows extracted"
+    for r in rows:
+        assert r.recommend == expected[r.url], (r.url, r.recommend)
+
+
+def test_bobaedream_post_id_from_ipadd(crawl_result):
+    """bobaedream post ids come from the detail page's ipAdd widget (which
+    the generator renders with the true id), matching the URL-derived id."""
+    rows = crawl_result.extracted.filter(F.col("community").isin("7", "7p")).collect()
+    assert rows, "no bobaedream rows extracted"
+    import re
+
+    for r in rows:
+        assert r.post_id == re.search(r"No=(\d+)", r.url).group(1)
+
+
 def test_frontier_equivalence_wide_frontier(spark):
     """Ordering/set equivalence also holds on a replicated (wide) frontier
     — the configuration the scale benchmarks run."""

@@ -84,6 +84,43 @@ def test_fast_tokenizer_parity_with_stdlib():
     assert checked > 500
 
 
+def test_script_style_rawtext_cdata():
+    """script/style content is raw text to the matching close tag —
+    '<' inside JS / tag-like strings must not create phantom nodes, and
+    their bodies must not be entity-decoded (html.parser CDATA semantics).
+    Parity asserted against the stdlib path on the same inputs."""
+    from politics_crawler_spark.parsers.dom import parse_html, parse_html_stdlib
+
+    html = (
+        '<div class="c"><script type="text/javascript">'
+        'if (a < b && x<y) { document.write("<div>fake</div>"); } &amp;'
+        "</script>real<style>a > b { color: red } .x<p{}</style>tail</div>"
+    )
+    for parser in (parse_html, parse_html_stdlib):
+        soup = parser(html)
+        div = soup.find("div", class_="c")
+        assert div is not None
+        # no phantom elements from tag-like strings inside script/style
+        assert [n.tag for n in div.find_all()] == ["script", "style"]
+        assert div.find("script").text == (
+            'if (a < b && x<y) { document.write("<div>fake</div>"); } &amp;'
+        )
+        assert div.find("style").text == "a > b { color: red } .x<p{}"
+    # visible text identical between paths and free of script bodies
+    assert parse_html(html).get_text() == parse_html_stdlib(html).get_text()
+    assert "realtail" == parse_html(html).find("div").get_text().replace(
+        parse_html(html).find("script").text, ""
+    ).replace(parse_html(html).find("style").text, "")
+
+
+def test_script_unclosed_runs_to_eof():
+    from politics_crawler_spark.parsers.dom import parse_html
+
+    soup = parse_html("<p>a</p><script>var x = 1 < 2; <p>ghost</p>")
+    assert [n.tag for n in soup.find_all()] == ["p", "script"]
+    assert soup.find("script").text == "var x = 1 < 2; <p>ghost</p>"
+
+
 def test_fast_tokenizer_comments_doctype():
     from politics_crawler_spark.parsers.dom import parse_html
 

@@ -141,6 +141,24 @@ def test_bobaedream_cascade():
     assert x("bobaedream", "<p>x</p>").content == "내용을 찾을 수 없습니다."
 
 
+def test_bobaedream_ipadd_post_id_recovery():
+    """bestboard post-id recovery from p.copyAddress > button.ipAdd text
+    (bobaedream_bestboard.py:43-48); widget text never leaks into content."""
+    html = (
+        '<p class="copyAddress"><button class="ipAdd">'
+        "https://www.bobaedream.co.kr/view?code=best&amp;No=987654</button></p>"
+        '<div id="bodyCont">본문</div>'
+    )
+    r = x("bobaedream", html)
+    assert r.post_id == "987654"
+    assert r.content == "본문"
+    # no widget → post_id None (caller falls back to the URL-derived id)
+    assert x("bobaedream", '<div class="bodyCont">1</div>').post_id is None
+    # button present but no No= match → None (extract_post_id returns None)
+    bad = '<p class="copyAddress"><button class="ipAdd">no id here</button></p><div id="bodyCont">x</div>'
+    assert x("bobaedream", bad).post_id is None
+
+
 # -- E11 inven ---------------------------------------------------------------
 
 def test_inven_video_and_date():
