@@ -1,0 +1,134 @@
+"""Live-fetch stage — P1 UA rotation, P2 per-request timeout, P6 retry with
+backoff + short-response detection — as one Arrow-batched ``mapInPandas``
+stage (SURVEY.md §2.5).
+
+Reference semantics generalized (citations into /root/reference/app/crawler/):
+
+- **P1 UA rotation**: ``random.choice(user_agents)`` per request from a 2-5
+  entry pool (politics/dcinside_politics.py:11-23,
+  politics/fmkorea_politics.py:11-33 — the largest header set,
+  hotissue/instiz_issue.py:12-26). Here the choice is DETERMINISTIC:
+  ``pool[crc32(url + attempt) % len(pool)]`` — rotation preserved (retries
+  switch UA exactly like a re-roll of random.choice) without RNG state, so
+  runs are reproducible.
+- **P2 timeout**: ``requests.get(..., timeout=10)`` on every call
+  (politics/dcinside_politics.py:39, politics/fmkorea_politics.py:69,140).
+- **P6 retry/backoff**: fmkorea 2 attempts with ``uniform(2,4)`` sleep
+  between (politics/fmkorea_politics.py:66-102, list pages :136-156);
+  instiz 3 attempts with ``uniform(2,5)`` and SHORT-RESPONSE detection —
+  ``len(response.text) < 1000`` triggers a retry
+  (hotissue/instiz_issue.py:211-229). Backoff jitter here is deterministic:
+  ``lo + (crc32(url,attempt) % 1000)/1000 * (hi-lo)``.
+
+The stage runs after the politeness repartition (salted by host), so each
+host's requests execute within its own task(s) — the partition-parallel
+replacement for the reference's serial sleeps. ``transport`` and ``sleep``
+are injectable: tests drive a fault-injecting local HTTP server with
+``sleep=None`` (no wall-clock cost); production uses the urllib transport
+and real sleeps.
+
+At 100 TB scale this stage is I/O-bound per partition; html bytes never
+shuffle after fetch (extraction runs in the same stage pipeline before any
+exchange).
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# Transcribed from fmkorea_politics.py:11-15 / dcinside_politics.py:11-23
+# (public browser UA strings).
+DEFAULT_UA_POOL = (
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/98.0.4758.102 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/98.0.4758.102 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:97.0) Gecko/20100101 Firefox/97.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/15.3 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/98.0.4758.102 Safari/537.36",
+)
+
+FETCH_FIELDS = [
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("fetch_status", T.StringType(), True),  # ok|short|error
+    T.StructField("http_code", T.IntegerType(), True),
+    T.StructField("attempts", T.IntegerType(), True),
+    T.StructField("ua", T.StringType(), True),
+]
+
+
+def _det_pick(url: str, attempt: int, n: int) -> int:
+    return zlib.crc32(f"{url}#{attempt}".encode()) % n
+
+
+def urllib_transport(url: str, ua: str, timeout_s: float) -> tuple[int, bytes]:
+    """Default transport: stdlib urllib GET. Returns (http_code, body)."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(url, headers={"User-Agent": ua})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, b""
+
+
+def make_fetch_stage(
+    transport: Callable[[str, str, float], tuple[int, bytes]] | None = None,
+    ua_pool: tuple[str, ...] = DEFAULT_UA_POOL,
+    timeout_s: float = 10.0,
+    max_attempts: int = 2,
+    min_bytes: int = 0,
+    backoff_s: tuple[float, float] = (2.0, 4.0),
+    sleep: Callable[[float], None] | None = time.sleep,
+):
+    """Build ``fetch(df, url_col) -> df + (html, fetch_status, http_code,
+    attempts, ua)``. All knobs closure-captured and shipped to executors."""
+    transport = transport or urllib_transport
+
+    def _fetch_one(url: str) -> dict:
+        last_code, body, ua = None, b"", ""
+        for attempt in range(1, max_attempts + 1):
+            ua = ua_pool[_det_pick(url, attempt, len(ua_pool))]  # P1
+            try:
+                code, body = transport(url, ua, timeout_s)  # P2
+            except Exception:
+                code, body = None, b""
+            last_code = code
+            if code == 200 and len(body) >= min_bytes:
+                return {
+                    "html": body, "fetch_status": "ok", "http_code": code,
+                    "attempts": attempt, "ua": ua,
+                }
+            if code == 200 and len(body) < min_bytes and attempt == max_attempts:
+                # instiz_issue.py:221-229 gives up with the short body
+                return {
+                    "html": body, "fetch_status": "short", "http_code": code,
+                    "attempts": attempt, "ua": ua,
+                }
+            if attempt < max_attempts and sleep is not None:  # P6 backoff
+                lo, hi = backoff_s
+                sleep(lo + (_det_pick(url, attempt + 7919, 1000) / 1000.0) * (hi - lo))
+        return {
+            "html": None, "fetch_status": "error", "http_code": last_code,
+            "attempts": max_attempts, "ua": ua,
+        }
+
+    def fetch(df: DataFrame, url_col: str = "url") -> DataFrame:
+        out_schema = T.StructType(list(df.schema.fields) + FETCH_FIELDS)
+
+        def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                res = pd.DataFrame(
+                    [_fetch_one(u) for u in pdf[url_col]], index=pdf.index
+                )
+                yield pd.concat([pdf, res], axis=1)
+
+        return df.mapInPandas(_run, schema=out_schema)
+
+    return fetch

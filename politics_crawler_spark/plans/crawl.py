@@ -153,7 +153,7 @@ def load_checkpoint(checkpoint_dir: str):
 
 def run_crawl(
     spark: SparkSession,
-    pages: DataFrame,
+    pages: DataFrame | None,
     run_date: str = RUN_DATE,
     boards: list[BoardConfig] | None = None,
     n_shards: int = 16,
@@ -165,7 +165,13 @@ def run_crawl(
     keep_lineage: bool = False,
     pages_per_round: int = 16,
     robots: DataFrame | None = None,
+    fetcher=None,
 ) -> CrawlResult:
+    """``fetcher`` (optional): a live-fetch stage from
+    ``operators.fetch.make_fetch_stage`` — when given, list and detail pages
+    are fetched over HTTP (UA rotation / timeout / retry, P1/P2/P6) instead
+    of joined from the ``pages`` snapshot; per-round retry totals land in
+    ``metrics`` via Observations (no extra actions)."""
     boards = boards or ENABLED_BOARDS
     by_name = {b.board: b for b in boards}
     state = {b.board: BoardState() for b in boards}
@@ -211,13 +217,18 @@ def run_crawl(
                 prev = spark.read.parquet(*committed)
                 extracted_parts.append(prev.select(*EXTRACTED.fieldNames()))
 
-    pages_slim = pages.select("url", "html", "warc_ts")
-    # Politeness salt factors from the snapshot's host distribution — one
-    # pre-pass for the whole run (hosts are stable across depth rounds).
-    salt_plan = host_salt_plan(
-        pages.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host")),
-        target_rows_per_task=host_target_rows,
-    )
+    if pages is None:
+        if fetcher is None:
+            raise ValueError("run_crawl needs a pages snapshot or a fetcher")
+        pages_slim, salt_plan = None, {}
+    else:
+        pages_slim = pages.select("url", "html", "warc_ts")
+        # Politeness salt factors from the snapshot's host distribution — one
+        # pre-pass for the whole run (hosts are stable across depth rounds).
+        salt_plan = host_salt_plan(
+            pages.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host")),
+            target_rows_per_task=host_target_rows,
+        )
     t0 = time.time()
     rnd = start_round
     if max_rounds is not None:
@@ -243,7 +254,22 @@ def run_crawl(
         )
 
         # "fetch" list pages: broadcast tiny frontier against the pages scan
-        lists = F.broadcast(frontier).join(pages_slim, on="url", how="inner")
+        # (synthetic mode), or the live HTTP fetch stage (fetcher mode)
+        list_obs = det_obs = None
+        if fetcher is None:
+            lists = F.broadcast(frontier).join(pages_slim, on="url", how="inner")
+        else:
+            from pyspark.sql import Observation
+
+            list_obs = Observation()
+            fetched = fetcher(frontier, url_col="url").observe(
+                list_obs,
+                F.sum("attempts").alias("attempts"),
+                F.count(F.lit(1)).alias("n_fetches"),
+            )
+            lists = fetched.filter(F.col("fetch_status") == "ok").drop(
+                "fetch_status", "http_code", "attempts", "ua"
+            )
 
         cand_raw = parse_list_pages(lists.drop("warc_ts"))
         cand = (
@@ -348,15 +374,35 @@ def run_crawl(
         else:
             unseen = selected
 
-        # detail "fetch" + extraction, politeness-partitioned by host
-        detail = (
-            unseen.drop("url")
-            .withColumnRenamed("link", "url")
-            .join(pages_slim.withColumnRenamed("warc_ts", "page_warc_ts"), on="url", how="inner")
-        )
-        detail = salted_repartition_by_host(
-            detail, host_col="host", url_col="url", salt_plan=salt_plan
-        )
+        # detail "fetch" + extraction, politeness-partitioned by host.
+        # Synthetic mode: the pages join IS the fetch, so the politeness
+        # repartition applies to its output; live mode: the repartition runs
+        # BEFORE the HTTP stage so every host's requests execute inside its
+        # own salted task(s).
+        detail = unseen.drop("url").withColumnRenamed("link", "url")
+        if fetcher is None:
+            detail = detail.join(
+                pages_slim.withColumnRenamed("warc_ts", "page_warc_ts"),
+                on="url", how="inner",
+            )
+            detail = salted_repartition_by_host(
+                detail, host_col="host", url_col="url", salt_plan=salt_plan
+            )
+        else:
+            detail = salted_repartition_by_host(
+                detail, host_col="host", url_col="url", salt_plan=salt_plan
+            )
+            from pyspark.sql import Observation
+
+            det_obs = Observation()
+            detail = fetcher(detail, url_col="url").observe(
+                det_obs,
+                F.sum("attempts").alias("attempts"),
+                F.count(F.lit(1)).alias("n_fetches"),
+            )
+            detail = detail.filter(F.col("fetch_status") == "ok").drop(
+                "fetch_status", "http_code", "attempts", "ua"
+            )
         ext = with_extraction(detail)
 
         # F5: boards with authoritative detail dates drop non-today posts
@@ -445,15 +491,20 @@ def run_crawl(
             ref_serial_s += by_name[bname].delay_s * n_today
         ref_serial_s += 3.5 * len(rows)
 
-        metrics.append(
-            {
-                "round": rnd,
-                "list_pages": len(rows),
-                "extracted": n_extracted,
-                "wall_ms": int((time.time() - round_t0) * 1000),
-                "ref_serial_s": round(ref_serial_s, 1),
-            }
-        )
+        round_metrics = {
+            "round": rnd,
+            "list_pages": len(rows),
+            "extracted": n_extracted,
+            "wall_ms": int((time.time() - round_t0) * 1000),
+            "ref_serial_s": round(ref_serial_s, 1),
+        }
+        if fetcher is not None:  # P6 retry counters (observations, no extra jobs)
+            lo, do = list_obs.get, det_obs.get
+            round_metrics["list_fetches"] = int(lo["n_fetches"] or 0)
+            round_metrics["list_fetch_attempts"] = int(lo["attempts"] or 0)
+            round_metrics["detail_fetches"] = int(do["n_fetches"] or 0)
+            round_metrics["detail_fetch_attempts"] = int(do["attempts"] or 0)
+        metrics.append(round_metrics)
 
         if checkpoint_dir:
             _commit_round(checkpoint_dir, rnd, out, seen, state, metrics)
