@@ -11,10 +11,20 @@ once:
       → per-board aggregate → driver staleness state   -- P9 early-stop
       → F3 min_views / F4 today                        -- JVM exprs
       → in-round dedup + bloom seen-filter             -- D1/D2 (sharded)
+      → seen update (ADD-AT-SELECT, ruliweb semantics) -- commits the round
       → salted repartition by host                     -- politeness / skew
-      → candidates ⋈ pages → extract_udf               -- "detail fetch"
-      → F5 detail-date / F6 status                     -- JVM exprs
-      → extracted rows (append) + seen update + checkpoint commit
+      → candidates ⋈ pages → extract_udf               -- "detail fetch" (or
+      → F5 detail-date / F6 status                     --  live HTTP fetcher)
+      → extracted rows (lazy by default; materialized per round only when
+        checkpointing / live-fetching)
+
+D1 uses the reference's add-at-select variant (ruliweb_politics.py:236-241
+marks links seen before the detail fetch; the ordering simulator does the
+same), so the per-round committed state depends only on the cheap
+list-parse path. Extraction therefore DEFERS into one terminal job across
+all rounds: per-round driver cost is two light actions (staleness collect +
+bloom commit), and the heavy extract work scales with cores in a single
+stage instead of paying the fixed round latency R times.
 
 Catalyst does the heavy lifting inside a round (filter pushdown before the
 extract UDF, broadcast joins for the tiny frontier); the loop exists only
@@ -166,12 +176,28 @@ def run_crawl(
     pages_per_round: int = 16,
     robots: DataFrame | None = None,
     fetcher=None,
+    defer_extraction: bool | None = None,
 ) -> CrawlResult:
     """``fetcher`` (optional): a live-fetch stage from
     ``operators.fetch.make_fetch_stage`` — when given, list and detail pages
     are fetched over HTTP (UA rotation / timeout / retry, P1/P2/P6) instead
     of joined from the ``pages`` snapshot; per-round retry totals land in
-    ``metrics`` via Observations (no extra actions)."""
+    ``metrics`` via Observations (no extra actions).
+
+    ``defer_extraction`` (default: on, unless checkpointing or live-fetching
+    — both need per-round materialization): leave each round's extraction
+    plan lazy and run ALL extraction as one terminal job. Per-round driver
+    work then touches only the list-parse path (staleness collect + bloom
+    commit), so the fixed cost per round stops gating N→4N scaling of the
+    extraction work. Round metrics report ``extracted: None`` in this mode
+    (count it from the result instead)."""
+    defer = (
+        defer_extraction
+        if defer_extraction is not None
+        else (checkpoint_dir is None and fetcher is None)
+    )
+    if checkpoint_dir or fetcher is not None:
+        defer = False  # commits and fetch observations need per-round jobs
     boards = boards or ENABLED_BOARDS
     by_name = {b.board: b for b in boards}
     state = {b.board: BoardState() for b in boards}
@@ -229,6 +255,21 @@ def run_crawl(
             pages.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host")),
             target_rows_per_task=host_target_rows,
         )
+        # Stage the LIST-PAGE POOL once: every list URL any round could
+        # fetch (boards × max_pages — bounded by P8 page budgets, tiny
+        # relative to the snapshot) is known upfront, so ONE semi-join
+        # materializes all list pages and per-round list fetches never
+        # rescan the snapshot again. This is the staged url→page index the
+        # 100 TB layout prescribes (on Iceberg: partition pruning by
+        # bucket(host)/days(warc_ts) does the same file-level cut).
+        all_list_urls = [
+            (list_url(b, p),) for b in boards for p in range(b.max_pages)
+        ]
+        lists_pool = pages_slim.join(
+            F.broadcast(spark.createDataFrame(all_list_urls, "url string")),
+            on="url",
+            how="left_semi",
+        ).persist()
     t0 = time.time()
     rnd = start_round
     if max_rounds is not None:
@@ -257,7 +298,7 @@ def run_crawl(
         # (synthetic mode), or the live HTTP fetch stage (fetcher mode)
         list_obs = det_obs = None
         if fetcher is None:
-            lists = F.broadcast(frontier).join(pages_slim, on="url", how="inner")
+            lists = F.broadcast(frontier).join(lists_pool, on="url", how="inner")
         else:
             from pyspark.sql import Observation
 
@@ -336,14 +377,7 @@ def run_crawl(
                 F.col("streak").alias("new_stale"),
             )
         )
-        n_today_by_board: dict[str, int] = {}
-        for r in board_state.collect():  # one row per board
-            st = state[r["board"]]
-            st.page_no = int(r["last_ok"]) + 1
-            st.stale = int(r["new_stale"])
-            if r["stopped"]:
-                st.active = False
-            n_today_by_board[r["board"]] = int(r["n_today_blk"] or 0)
+        t_build = time.time() - round_t0  # frontier + plan construction
 
         # staleness cut as a broadcast-joined dimension (an OR-chain of
         # predicates would blow the expression tree at thousands of boards)
@@ -373,6 +407,38 @@ def run_crawl(
             unseen = seen_mod.filter_unseen(selected, seen, n_shards)
         else:
             unseen = selected
+        unseen = unseen.persist()
+
+        # D1 add-at-select (ruliweb_politics.py:236-241 — the reference
+        # marks candidates seen BEFORE the detail fetch; the ordering
+        # simulator uses the same semantics): the seen update depends only
+        # on the cheap list-parse path, never on extraction output. That
+        # breaks the round-to-round dependency on the heavy extract job, so
+        # extraction can defer into ONE terminal job across all rounds —
+        # the per-round fixed driver cost (Catalyst planning + action
+        # latency + bloom-commit barrier) stops multiplying into the
+        # scaling-critical work.
+        new_keys = unseen.select("url_hash").unionByName(
+            frontier.select(url_hash(F.col("url")).alias("url_hash"))
+        )
+        t_pre_seen = time.time() - round_t0
+        seen = seen_mod.update_seen(seen, new_keys, n_shards).localCheckpoint(
+            eager=True
+        )  # ONE heavy job per round: materializes cand + unseen + blooms
+        t_seen = time.time() - round_t0 - t_pre_seen
+
+        # P9 driver-state update reads the CACHED cand (the seen job above
+        # already materialized it), so this second action is near-free.
+        n_today_by_board: dict[str, int] = {}
+        for r in board_state.collect():  # one row per board
+            st = state[r["board"]]
+            st.page_no = int(r["last_ok"]) + 1
+            st.stale = int(r["new_stale"])
+            if r["stopped"]:
+                st.active = False
+            n_today_by_board[r["board"]] = int(r["n_today_blk"] or 0)
+        t_stale = time.time() - round_t0 - t_pre_seen - t_seen  # cached collect
+        cand.unpersist()
 
         # detail "fetch" + extraction, politeness-partitioned by host.
         # Synthetic mode: the pages join IS the fetch, so the politeness
@@ -381,10 +447,21 @@ def run_crawl(
         # own salted task(s).
         detail = unseen.drop("url").withColumnRenamed("link", "url")
         if fetcher is None:
-            detail = detail.join(
-                pages_slim.withColumnRenamed("warc_ts", "page_warc_ts"),
-                on="url", how="inner",
+            # Two-step fetch join keeps BOTH heavy paths cheap:
+            # 1. semi-join the snapshot against a NARROW url-only broadcast
+            #    (bounded by P8 budgets; single strings, so the driver-side
+            #    broadcast build stays tiny) — the full snapshot streams,
+            #    its html bytes never enter an exchange, and only matched
+            #    pages survive;
+            # 2. equi-join matched pages ⋈ candidates — a small shuffle
+            #    (candidate-sized, not snapshot-sized) that scales with
+            #    cores. Broadcasting the full candidate rows instead would
+            #    serialize a multi-MB hash-relation build on the driver —
+            #    a measured flat ~5 s that caps N→4N scaling.
+            matched = pages_slim.withColumnRenamed("warc_ts", "page_warc_ts").join(
+                F.broadcast(detail.select("url")), on="url", how="left_semi"
             )
+            detail = matched.join(detail, on="url", how="inner")
             detail = salted_repartition_by_host(
                 detail, host_col="host", url_col="url", salt_plan=salt_plan
             )
@@ -467,21 +544,17 @@ def run_crawl(
                 if keep_lineage
                 else []
             ),
-        ).persist()
+        )
 
-        n_extracted = out.count()  # materializes the persisted round output
+        if defer:
+            # extraction deferred to the terminal action: `out` stays lazy,
+            # rooted at the materialized `unseen` cache
+            n_extracted = None
+        else:
+            out = out.persist()
+            n_extracted = out.count()  # materializes the round output
+            unseen.unpersist()
         extracted_parts.append(out)
-
-        # D1: mark seen after successful extraction (fmkorea_politics.py:284),
-        # plus the list-page URLs themselves. Derived from the PERSISTED
-        # round output so the extract UDF doesn't run twice.
-        new_keys = out.select(url_hash(F.col("url")).alias("url_hash")).unionByName(
-            frontier.select(url_hash(F.col("url")).alias("url_hash"))
-        )
-        seen = seen_mod.update_seen(seen, new_keys, n_shards).localCheckpoint(
-            eager=True
-        )
-        cand.unpersist()
 
         # politeness budget accounting: the serial seconds the reference's
         # sleep-based schedule would spend on this round's fetches
@@ -496,6 +569,9 @@ def run_crawl(
             "list_pages": len(rows),
             "extracted": n_extracted,
             "wall_ms": int((time.time() - round_t0) * 1000),
+            "t_build_ms": int(t_build * 1000),
+            "t_stale_ms": int(t_stale * 1000),
+            "t_seen_ms": int(t_seen * 1000),
             "ref_serial_s": round(ref_serial_s, 1),
         }
         if fetcher is not None:  # P6 retry counters (observations, no extra jobs)

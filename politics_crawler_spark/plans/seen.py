@@ -47,27 +47,30 @@ def with_shard(df: DataFrame, n_shards: int, hash_col: str = "url_hash") -> Data
 def filter_unseen(candidates: DataFrame, seen: DataFrame, n_shards: int) -> DataFrame:
     """Drop candidates whose url_hash is (probably) already seen.
 
-    Plan shape: shuffle candidates once on shard_id, co-group with the one
-    matching seen row per shard, run the vectorized bloom probe inside the
-    group. No global broadcast, no driver collect.
+    Plan shape: only the 8-byte ``url_hash`` column rides the Python path —
+    hashes shuffle on shard_id, co-group with the one matching seen row per
+    shard, vectorized bloom probe inside the group; surviving hashes then
+    JVM-semi-join back against the full candidate rows. Candidate payloads
+    (title/url/… strings) never cross the Arrow boundary: at web-scale
+    candidate volume that halves the probe stage's serialization. No global
+    broadcast, no driver collect.
     """
-    cand = with_shard(candidates, n_shards)
-    out_schema = candidates.schema
+    keys = with_shard(candidates.select("url_hash"), n_shards)
 
-    def _probe(cand_pdf, seen_pdf):
-        if len(cand_pdf) == 0:
-            return cand_pdf.drop(columns=["shard_id"])
-        if len(seen_pdf) == 0:
-            return cand_pdf.drop(columns=["shard_id"])
+    def _probe(key_pdf, seen_pdf):
+        key_pdf = key_pdf[["url_hash"]]
+        if len(key_pdf) == 0 or len(seen_pdf) == 0:
+            return key_pdf
         shard = BloomShard.from_bytes(seen_pdf["bloom"].iloc[0])
-        mask = shard.contains(cand_pdf["url_hash"].to_numpy(dtype=np.int64))
-        return cand_pdf.loc[~mask].drop(columns=["shard_id"])
+        mask = shard.contains(key_pdf["url_hash"].to_numpy(dtype=np.int64))
+        return key_pdf.loc[~mask]
 
-    return (
-        cand.groupBy("shard_id")
+    survivors = (
+        keys.groupBy("shard_id")
         .cogroup(seen.groupBy("shard_id"))
-        .applyInPandas(_probe, schema=out_schema)
+        .applyInPandas(_probe, schema="url_hash long")
     )
+    return candidates.join(survivors, on="url_hash", how="left_semi")
 
 
 def update_seen(seen: DataFrame, new_keys: DataFrame, n_shards: int) -> DataFrame:

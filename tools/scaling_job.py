@@ -63,8 +63,13 @@ def main():
             from politics_crawler_spark.plans.crawl import run_crawl
 
             t0 = time.time()
+            # pages_per_round covers the largest board budget (max_pages 99):
+            # the wide frontier is depth-BOUNDED (P8), so block-speculative
+            # expansion handles every board's whole budget in one round and
+            # the staleness cut is applied post-hoc — exact semantics, one
+            # round of fixed driver cost.
             res = run_crawl(
-                spark, pages, n_shards=16, pages_per_round=64,
+                spark, pages, n_shards=16, pages_per_round=128,
                 boards=crawl_boards(replicas),
             )
             n_out = res.extracted.count()
