@@ -52,19 +52,30 @@ def _parse_one(html: bytes | None, encoding: str) -> list[dict]:
         return []
     out = []
     for i, tr in enumerate(table.find_all("tr")):
-        def cell(cls):
-            td = tr.find("td", class_=cls)
-            return td if td is not None else None
-
-        a = tr.find("a")
-        num = cell("num")
-        date_td = cell("date")
-        views_td = cell("views")
-        rec_td = cell("rec")
-        cat_td = cell("cat")
-        cmt_td = cell("cmt")
-        writer_td = cell("writer")
-        reply_a = tr.find("a", class_="replyNum")
+        # ONE subtree walk per row instead of eight find() traversals —
+        # the list parse is the hot path of every crawl round (measured
+        # ~4.4 ms/page with per-field find()s; the queries dominated, not
+        # the tokenizer). Semantics identical: first td per class token /
+        # first <a> / first a.replyNum, in document order.
+        tds: dict = {}
+        a = None
+        reply_a = None
+        for node in tr._iter_desc():
+            if node.tag == "td":
+                for cls in node.classes:
+                    tds.setdefault(cls, node)
+            elif node.tag == "a":
+                if a is None:
+                    a = node
+                if reply_a is None and "replyNum" in node.classes:
+                    reply_a = node
+        num = tds.get("num")
+        date_td = tds.get("date")
+        views_td = tds.get("views")
+        rec_td = tds.get("rec")
+        cat_td = tds.get("cat")
+        cmt_td = tds.get("cmt")
+        writer_td = tds.get("writer")
         out.append(
             {
                 "post_no": num.get_text(strip=True) if num else "",

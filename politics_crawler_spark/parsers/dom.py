@@ -36,7 +36,17 @@ _ATTR_RE = re.compile(
 )
 
 
+_SIMPLE_ATTR_RE = re.compile(
+    r'^\s*([a-zA-Z_:][-a-zA-Z0-9_:.]*)="([^"<>&]*)"\s*$'
+)
+
+
 def _parse_attrs(raw: str) -> dict[str, str]:
+    # fast path: the overwhelmingly common single `name="value"` attr
+    # (class-only cells dominate board-list rows — profiled hot)
+    m = _SIMPLE_ATTR_RE.match(raw)
+    if m:
+        return {m.group(1).lower(): m.group(2)}
     out = {}
     for m in _ATTR_RE.finditer(raw):
         name = m.group(1).lower()
