@@ -501,6 +501,44 @@ def q31_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(d, n=3, threshold=0.5).orderBy("id_a", "id_b")
 
 
+def q33_minhash_dedup(spark, sf):
+    """End-to-end near-dup COLLAPSE: LSH proposes, exact char-5-gram
+    Jaccard decides (>= 0.5), min-id representative survives. The oracle
+    recomputes survivors from the exact all-pairs ground truth — the full
+    dedup pipeline (not just the pair list) is graded."""
+    from politics_crawler_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf, "documents")
+    return minhash_dedup(d, threshold=0.5).select("doc_id").orderBy("doc_id")
+
+
+def q32_ivf_ann(spark, sf):
+    """IVF ANN (k-means coarse quantizer + probed-cell exact re-rank),
+    graded by the same full-recall contract as q17 — the two ANN index
+    styles (data-adaptive IVF vs data-oblivious hyperplane LSH) are held to
+    one exact ground truth."""
+    from politics_crawler_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries_df, k=10)
+    # random vectors are the worst case for any partition-based ANN: cosine
+    # top-10 spreads across most cells, so near-exhaustive probing is what
+    # full recall costs here (real embedding corpora cluster; n_probe drops)
+    approx = ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=14)
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        on=["query_id", "neighbor_id"],
+        how="left_semi",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .withColumn("recall", F.round(F.col("n_hits") / 10.0, 4))
+        .orderBy("query_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -534,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_text_cleanup": q29_text_cleanup,
         "q30_lag_window": q30_lag_window,
         "q31_ngram_jaccard": q31_ngram_jaccard,
+        "q32_ivf_ann": q32_ivf_ann,
+        "q33_minhash_dedup": q33_minhash_dedup,
     }
 
 
@@ -700,6 +740,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10 AS BIGINT) AS n_hits,
                    CAST(1.0 AS DOUBLE) AS recall
             FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        "q32_ivf_ann": """
+            SELECT vec_id AS query_id,
+                   CAST(10 AS BIGINT) AS n_hits,
+                   CAST(1.0 AS DOUBLE) AS recall
+            FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+        """,
+        # Survivors of the exact ground-truth collapse: a doc is dropped iff
+        # it has a SMALLER-id partner at exact char-5-gram Jaccard >= 0.5
+        # (single-hop min-id union, mirroring minhash_dedup's rep rule).
+        "q33_minhash_dedup": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, length(text) - 3),
+                                                    i -> substring(text, i, 5))) AS grams
+                FROM documents
+            ),
+            dropped AS (
+                SELECT b.doc_id AS id_b
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+            ORDER BY doc_id
         """,
         # Byte-identity contract: the generator's expected text is computed
         # independently of the engine parsers, so "every page of every site

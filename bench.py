@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "q15_minhash_pairs",
     "q16_simhash_pairs",
     "q17_lsh_ann",
+    "q32_ivf_ann",
+    "q33_minhash_dedup",
 ]
 
 

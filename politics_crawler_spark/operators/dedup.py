@@ -158,11 +158,23 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  threshold: float = 0.5) -> DataFrame:
-    """Near-dup clusters → representative = min id among connected pairs
-    (single-hop union: sufficient for LSH clusters at modest chain depth)."""
-    sigs = minhash_signatures(df, text_col, id_col)
-    pairs = lsh_candidate_pairs(sigs, id_col, est_threshold=threshold)
+                  threshold: float = 0.5, exact_verify: bool = True,
+                  shingle_k: int = 5) -> DataFrame:
+    """Near-dup collapse: candidates from the MinHash-LSH sketch, DECISIONS
+    from exact character-shingle Jaccard (``exact_verify=True``, default) —
+    the sketch only bounds what gets compared; what gets dropped is exact.
+    Representative = min id among connected pairs (single-hop union:
+    sufficient for LSH clusters at modest chain depth)."""
+    sigs = minhash_signatures(df, text_col, id_col, shingle_k=shingle_k)
+    # cheap estimate gate well below the decision threshold (recall-safe)
+    pairs = lsh_candidate_pairs(sigs, id_col, est_threshold=threshold * 0.7)
+    if exact_verify:
+        pairs = exact_jaccard_verify(
+            pairs, df, id_col=id_col, text_col=text_col,
+            k=shingle_k, threshold=threshold,
+        )
+    else:
+        pairs = pairs.filter(F.col("jaccard_est") >= threshold)
     rep = (
         pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("rep"))
         .groupBy(id_col)

@@ -65,3 +65,68 @@ def stream_hourly_rollup(
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("hour"), "event_type", "n", "total_value")
     )
+
+
+# Custom STATEFUL operator: per-host crawl-rate sessionization. The
+# reference's per-site serial loop implicitly sessionizes fetches (one site
+# at a time, sleeps between); partition-parallel crawling needs the same
+# signal — "how hot is this host right now" — as an explicit stateful
+# stream over fetch events, keyed by host, with arbitrary session state
+# (applyInPandasWithState; no built-in aggregation expresses gap-based
+# sessions with running state across micro-batches).
+HOST_SESSION_OUT = (
+    "host string, session_start double, session_end double, "
+    "n_fetches long, closed boolean"
+)
+_HOST_SESSION_STATE = "start double, last double, n long"
+
+
+def host_fetch_sessions(fetches: DataFrame, gap_s: float = 600.0) -> DataFrame:
+    """Gap-based per-host fetch sessions over a STREAMING frame of
+    ``(host string, ts timestamp)`` rows.
+
+    Emits one row per closed session (``closed=true``; a quiet gap longer
+    than ``gap_s`` ended it) plus an open-session snapshot per host per
+    micro-batch (``closed=false`` — the live crawl-rate view). State (one
+    tiny tuple per host) persists in the state store across micro-batches,
+    so session counts span batch boundaries — the property the test pins.
+
+    Scale: state is O(#hosts in the trigger), shuffled once on the group
+    key; Arrow-batched like every other Python stage in this engine.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        host = key[0]
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        rows = []
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(float(t.timestamp()) for t in pdf["ts"])
+        for tt in sorted(ts_all):
+            if last is not None and tt - last > gap_s:
+                rows.append((host, start, last, n, True))
+                start, n = tt, 0
+            if start is None:
+                start = tt
+            n += 1
+            last = tt
+        if start is not None:
+            state.update((start, last, n))
+            rows.append((host, start, last, n, False))  # open-session snapshot
+        yield pd.DataFrame(
+            rows,
+            columns=["host", "session_start", "session_end", "n_fetches", "closed"],
+        )
+
+    return fetches.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=HOST_SESSION_OUT,
+        stateStructType=_HOST_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -28,6 +28,62 @@ def test_stream_extract_available_now(spark, pages_pdf, tmp_path):
     assert j.filter(F.col("content") != F.col("text")).count() == 0
 
 
+def test_host_fetch_sessions_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: per-host state must persist
+    across micro-batches (host A's count spans two files), and an in-batch
+    quiet gap must close a session (host B)."""
+    import datetime as dt
+    import time
+
+    from politics_crawler_spark.streaming.micro_batch import (
+        HOST_SESSION_OUT,
+        host_fetch_sessions,
+    )
+
+    src = str(tmp_path / "fetches")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    sec = dt.timedelta(seconds=1)
+
+    # file 1: host A burst 1 (3 fetches), host B burst + gap-closed burst
+    f1 = [("a.com", base + i * sec) for i in range(3)] + [
+        ("b.com", base + i * sec) for i in range(2)
+    ] + [("b.com", base + dt.timedelta(seconds=5000) + i * sec) for i in range(4)]
+    # file 2: host A burst 2, within gap of burst 1's end
+    f2 = [("a.com", base + dt.timedelta(seconds=10) + i * sec) for i in range(5)]
+    schema = "host string, ts timestamp"
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct mtimes → deterministic file order
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        host_fetch_sessions(stream, gap_s=600.0)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+
+    # host B: one CLOSED session (gap 5000s > 600s) with 2 fetches
+    closed_b = [r for r in rows if r.host == "b.com" and r.closed]
+    assert len(closed_b) == 1 and closed_b[0].n_fetches == 2
+
+    # host A: the LAST open snapshot counts fetches from BOTH files — the
+    # state store carried (start, last, n) across micro-batches
+    open_a = [r for r in rows if r.host == "a.com" and not r.closed]
+    assert max(r.n_fetches for r in open_a) == 8
+    # and its session_start is file 1's first fetch
+    last_a = max(open_a, key=lambda r: r.n_fetches)
+    assert last_a.session_start == base.timestamp()
+
+
 def test_stream_hourly_rollup_batch_parity(spark):
     import datetime as dt
 

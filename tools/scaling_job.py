@@ -29,7 +29,11 @@ def main():
 
     import os
 
-    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # big enough that the cached snapshot + concurrent task memory never
+    # evict/recompute at the widest parallelism (the 125 GiB box takes it;
+    # at 48g the 8-core leg thrashed storage at 4.8M pages while the 2-core
+    # leg did not — an asymmetry that corrupts the scaling ratio)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "96g")
 
     from pyspark.sql import functions as F
 
