@@ -25,6 +25,15 @@ def main():
                     help="trials; best wall reported (shared-host noise)")
     ap.add_argument("--row-lo", type=int, default=None)
     ap.add_argument("--row-hi", type=int, default=None)
+    ap.add_argument("--write-snapshot", default=None, metavar="DIR",
+                    help="synthesize the pages table, write it as parquet "
+                         "to DIR, and exit (untimed prep step)")
+    ap.add_argument("--read-snapshot", default=None, metavar="DIR",
+                    help="read the pages table from a parquet snapshot "
+                         "instead of caching an in-memory synthesis — the "
+                         "Iceberg-snapshot-shaped input of the north rule; "
+                         "scan parallelism then scales with cores and the "
+                         "JVM carries no 30GB cache")
     args = ap.parse_args()
 
     import os
@@ -53,11 +62,21 @@ def main():
     # wide frontier: replicate boards so each slice is ~2800 rows — the
     # 10^10 frontier is wide (many hosts), page budgets bound the depth
     replicas = max(1, round(args.pages / (19 * 2800)))
-    pages = synthesize_pages(
-        spark, args.pages, partitions=args.cpus * 2, replicas=replicas,
-        row_lo=args.row_lo, row_hi=args.row_hi,
-    ).persist()
-    n_rows = pages.count()  # materialize before timing
+    if args.write_snapshot:
+        synthesize_pages(
+            spark, args.pages, partitions=64, replicas=replicas,
+        ).write.mode("overwrite").parquet(args.write_snapshot)
+        print(json.dumps({"wrote": args.write_snapshot, "pages": args.pages}))
+        return
+    if args.read_snapshot:
+        pages = spark.read.parquet(args.read_snapshot)
+        n_rows = pages.count()  # warm file listing; data stays on disk
+    else:
+        pages = synthesize_pages(
+            spark, args.pages, partitions=args.cpus * 2, replicas=replicas,
+            row_lo=args.row_lo, row_hi=args.row_hi,
+        ).persist()
+        n_rows = pages.count()  # materialize before timing
 
     import sys as _sys
 
