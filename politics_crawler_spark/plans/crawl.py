@@ -265,11 +265,21 @@ def run_crawl(
         all_list_urls = [
             (list_url(b, p),) for b in boards for p in range(b.max_pages)
         ]
-        lists_pool = pages_slim.join(
-            F.broadcast(spark.createDataFrame(all_list_urls, "url string")),
-            on="url",
-            how="left_semi",
-        ).persist()
+        # Even REPARTITION before staging: list pages cluster in the
+        # snapshot's layout (per-board runs), so scan-order partitions are
+        # heavily skewed (measured 0..5,851 list pages/partition at 4.8M —
+        # parse stragglers halved 8-core throughput); hashing on url gives
+        # every parse task an equal slice. One bounded shuffle, paid once
+        # per run.
+        lists_pool = (
+            pages_slim.join(
+                F.broadcast(spark.createDataFrame(all_list_urls, "url string")),
+                on="url",
+                how="left_semi",
+            )
+            .repartition(spark.sparkContext.defaultParallelism * 4, "url")
+            .persist()
+        )
     t0 = time.time()
     rnd = start_round
     if max_rounds is not None:
