@@ -128,7 +128,16 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    # Jaccard estimate computed INSIDE the bucket join's select, so the
+    # downstream pair exchange (dropDuplicates shuffle + any verify join)
+    # carries only (id_a, id_b, est) — never the two full 64-perm
+    # signatures (~1 KB/pair of avoidable shuffle width at scale).
+    est = F.aggregate(
+        F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size(F.col("l.sig"))
+    return (
         left.join(
             right,
             on=[
@@ -140,21 +149,59 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            F.round(est, 6).alias("jaccard_est"),
         )
+        .filter(F.col("jaccard_est") >= est_threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.size("sig_a")
-    return (
-        pairs.withColumn("jaccard_est", F.round(est, 6))
-        .filter(F.col("jaccard_est") >= est_threshold)
-        .select("id_a", "id_b", "jaccard_est")
+
+
+def connected_min_reps(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup ``(id_a, id_b)`` edges by min-id
+    label propagation to FIXED POINT → ``(node, rep)`` with ``rep`` = the
+    smallest id in the node's component.
+
+    Scale: label propagation is the standard distributed CC algorithm — each
+    iteration is one equi-join + min-aggregate on the (small) edge set, and
+    the iteration count is the component diameter (near-dup clusters are
+    shallow: dup families chain a handful of hops, not thousands). Lineage is
+    cut per iteration (``localCheckpoint``) so plans stay constant-size, and
+    the convergence check rides the same job as the checkpoint — no extra
+    pass over the data.
+    """
+    edges = pairs.select("id_a", "id_b")
+    und = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
+    und = und.localCheckpoint(eager=True)  # reused every iteration
+    labels = (
+        und.groupBy(F.col("id_a").alias("node"))
+        .agg(F.min("id_b").alias("min_n"))
+        .select("node", F.least("node", "min_n").alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("id_b"), F.col("rep").alias("nrep")
+                ),
+                on="id_b",
+            )
+            .groupBy(F.col("id_a").alias("node"))
+            .agg(F.min("nrep").alias("min_nrep"))
+        )
+        new = labels.join(neigh, on="node", how="left").select(
+            "node",
+            F.least(F.col("rep"), F.coalesce("min_nrep", "rep")).alias("rep"),
+            (F.coalesce("min_nrep", "rep") < F.col("rep")).alias("_changed"),
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.filter(F.col("_changed")).count()
+        labels = new.drop("_changed")
+        if changed == 0:
+            break
+    return labels
 
 
 def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -163,8 +210,10 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Near-dup collapse: candidates from the MinHash-LSH sketch, DECISIONS
     from exact character-shingle Jaccard (``exact_verify=True``, default) —
     the sketch only bounds what gets compared; what gets dropped is exact.
-    Representative = min id among connected pairs (single-hop union:
-    sufficient for LSH clusters at modest chain depth)."""
+    Representative = the min id of each CONNECTED COMPONENT of the
+    ≥-threshold pair graph (community-standard transitive collapse, via
+    :func:`connected_min_reps`): in a chain A~B~C with A≁C, only A survives
+    even though A and C never paired directly."""
     sigs = minhash_signatures(df, text_col, id_col, shingle_k=shingle_k)
     # cheap estimate gate well below the decision threshold (recall-safe)
     pairs = lsh_candidate_pairs(sigs, id_col, est_threshold=threshold * 0.7)
@@ -175,17 +224,11 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
     else:
         pairs = pairs.filter(F.col("jaccard_est") >= threshold)
-    rep = (
-        pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("rep"))
-        .groupBy(id_col)
-        .agg(F.min("rep").alias("rep"))
+    reps = connected_min_reps(pairs)
+    dropped = reps.filter(F.col("rep") < F.col("node")).select(
+        F.col("node").alias(id_col)
     )
-    return (
-        df.join(rep, on=id_col, how="left")
-        .withColumn("rep", F.coalesce("rep", F.col(id_col)))
-        .filter(F.col("rep") == F.col(id_col))
-        .drop("rep")
-    )
+    return df.join(dropped, on=id_col, how="left_anti")
 
 
 # --------------------------------------------------------------------------
@@ -293,9 +336,13 @@ def exact_jaccard_verify(pairs: DataFrame, docs: DataFrame,
         .join(g.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b")), on="id_b")
     )
     jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    # threshold the UNROUNDED ratio (exactly what the all-pairs SQL oracle
+    # does); round only the reported column — rounding first would admit
+    # e.g. 0.4999996 at threshold 0.5
     return (
-        out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        out.select("id_a", "id_b", jac.alias("_jac"))
+        .filter(F.col("_jac") >= threshold)
+        .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
     )
 
 
@@ -336,7 +383,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
         pairs.select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.round(inter / union, 6).alias("jaccard"),
+            (inter / union).alias("_jac"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("_jac") >= threshold)  # unrounded, oracle-exact
+        .select("id_a", "id_b", F.round("_jac", 6).alias("jaccard"))
     )

@@ -78,6 +78,9 @@ class CrawlResult:
     metrics: list[dict] = field(default_factory=list)
     rounds: int = 0
     seen: DataFrame | None = None
+    # persisted DataFrames still referenced by the (lazy) `extracted` plan in
+    # defer mode — callers unpersist these AFTER their terminal action
+    caches: list[DataFrame] = field(default_factory=list)
 
 
 def _board_frontier_rows(
@@ -282,6 +285,7 @@ def run_crawl(
         )
     t0 = time.time()
     rnd = start_round
+    round_caches: list[DataFrame] = []
     if max_rounds is not None:
         total_rounds = max_rounds
     else:
@@ -318,9 +322,11 @@ def run_crawl(
                 F.sum("attempts").alias("attempts"),
                 F.count(F.lit(1)).alias("n_fetches"),
             )
-            lists = fetched.filter(F.col("fetch_status") == "ok").drop(
-                "fetch_status", "http_code", "attempts", "ua"
-            )
+            # 'short' passes through WITH the truncated body: the reference
+            # gives up and parses what it got (instiz_issue.py:221-229)
+            lists = fetched.filter(
+                F.col("fetch_status").isin("ok", "short")
+            ).drop("fetch_status", "http_code", "attempts", "ua")
 
         cand_raw = parse_list_pages(lists.drop("warc_ts"))
         cand = (
@@ -413,12 +419,6 @@ def run_crawl(
 
             selected = gate_by_robots(selected, robots, host_col="host", url_col="link")
 
-        if use_bloom:
-            unseen = seen_mod.filter_unseen(selected, seen, n_shards)
-        else:
-            unseen = selected
-        unseen = unseen.persist()
-
         # D1 add-at-select (ruliweb_politics.py:236-241 — the reference
         # marks candidates seen BEFORE the detail fetch; the ordering
         # simulator uses the same semantics): the seen update depends only
@@ -428,13 +428,34 @@ def run_crawl(
         # the per-round fixed driver cost (Catalyst planning + action
         # latency + bloom-commit barrier) stops multiplying into the
         # scaling-critical work.
-        new_keys = unseen.select("url_hash").unionByName(
-            frontier.select(url_hash(F.col("url")).alias("url_hash"))
-        )
+        #
+        # Snapshot mode fuses probe+fold into ONE cogroup pass
+        # (seen.probe_and_update): candidates probe the previous bloom bits
+        # and all keys fold in within the same shard group — the bloom
+        # deserializes once and the round runs one Python stage, not two.
+        #
+        # FETCHER mode instead defers the detail-URL seen-add until the
+        # fetch RESOLVES (ok/short): a URL whose fetch exhausts
+        # max_attempts stays out of the bloom, so later rounds / resumed
+        # runs can retry it — add-at-select would make a transient network
+        # failure permanent data loss. List URLs keep add-at-select.
+        frontier_keys = frontier.select(url_hash(F.col("url")).alias("url_hash"))
         t_pre_seen = time.time() - round_t0
-        seen = seen_mod.update_seen(seen, new_keys, n_shards).localCheckpoint(
-            eager=True
-        )  # ONE heavy job per round: materializes cand + unseen + blooms
+        if use_bloom and fetcher is None:
+            combined = seen_mod.probe_and_update(
+                selected.select("url_hash"), frontier_keys, seen, n_shards
+            ).localCheckpoint(eager=True)
+            # ONE heavy job per round: materializes cand + probe + fold
+            survivors, seen = seen_mod.split_probe_update(combined)
+            unseen = selected.join(survivors, on="url_hash", how="left_semi")
+        elif use_bloom:
+            unseen = seen_mod.filter_unseen(selected, seen, n_shards).persist()
+            # seen update happens after the detail fetch below
+        else:
+            unseen = selected.persist()
+            seen = seen_mod.update_seen(
+                seen, unseen.select("url_hash").unionByName(frontier_keys), n_shards
+            ).localCheckpoint(eager=True)
         t_seen = time.time() - round_t0 - t_pre_seen
 
         # P9 driver-state update reads the CACHED cand (the seen job above
@@ -448,7 +469,10 @@ def run_crawl(
                 st.active = False
             n_today_by_board[r["board"]] = int(r["n_today_blk"] or 0)
         t_stale = time.time() - round_t0 - t_pre_seen - t_seen  # cached collect
-        cand.unpersist()
+        round_caches.append(cand)  # unpersisted once this round's extraction
+        # has materialized (non-defer) or left to cache eviction (defer:
+        # the terminal job re-reads `cand` — candidate volume is bounded
+        # by P8 page budgets, a sliver of the snapshot)
 
         # detail "fetch" + extraction, politeness-partitioned by host.
         # Synthetic mode: the pages join IS the fetch, so the politeness
@@ -482,14 +506,22 @@ def run_crawl(
             from pyspark.sql import Observation
 
             det_obs = Observation()
-            detail = fetcher(detail, url_col="url").observe(
-                det_obs,
-                F.sum("attempts").alias("attempts"),
-                F.count(F.lit(1)).alias("n_fetches"),
+            fetched_detail = (
+                fetcher(detail, url_col="url")
+                .observe(
+                    det_obs,
+                    F.sum("attempts").alias("attempts"),
+                    F.count(F.lit(1)).alias("n_fetches"),
+                )
+                .persist()  # fetch side effects must run exactly once: the
+                # round's out.count() materializes this cache, and the seen
+                # update below re-reads it instead of re-fetching
             )
-            detail = detail.filter(F.col("fetch_status") == "ok").drop(
-                "fetch_status", "http_code", "attempts", "ua"
-            )
+            # ok AND short proceed to parsing (instiz gives up WITH the
+            # short body and parses it — instiz_issue.py:221-229)
+            detail = fetched_detail.filter(
+                F.col("fetch_status").isin("ok", "short")
+            ).drop("fetch_status", "http_code", "attempts", "ua")
         ext = with_extraction(detail)
 
         # F5: boards with authoritative detail dates drop non-today posts
@@ -558,12 +590,27 @@ def run_crawl(
 
         if defer:
             # extraction deferred to the terminal action: `out` stays lazy,
-            # rooted at the materialized `unseen` cache
+            # rooted at the materialized probe survivors + cached cand
             n_extracted = None
         else:
             out = out.persist()
             n_extracted = out.count()  # materializes the round output
-            unseen.unpersist()
+            if fetcher is not None and use_bloom:
+                # deferred seen-add (ADVICE r2): detail URLs enter the bloom
+                # only once their fetch RESOLVED (ok/short — 'error' rows
+                # stay unseen and retryable); list URLs add-at-select.
+                resolved_keys = fetched_detail.filter(
+                    F.col("fetch_status").isin("ok", "short")
+                ).select("url_hash")
+                seen = seen_mod.update_seen(
+                    seen, resolved_keys.unionByName(frontier_keys), n_shards
+                ).localCheckpoint(eager=True)
+                fetched_detail.unpersist()
+            for c in round_caches:
+                c.unpersist()
+            round_caches.clear()
+            if unseen.is_cached:
+                unseen.unpersist()
         extracted_parts.append(out)
 
         # politeness budget accounting: the serial seconds the reference's
@@ -605,4 +652,9 @@ def run_crawl(
 
     # A1: reference's final sort (Date desc); deterministic tiebreak on url
     result = result.orderBy(F.col("date").desc(), F.col("url").asc())
-    return CrawlResult(extracted=result, metrics=metrics, rounds=rnd, seen=seen)
+    caches = list(round_caches)
+    if pages is not None:
+        caches.append(lists_pool)
+    return CrawlResult(
+        extracted=result, metrics=metrics, rounds=rnd, seen=seen, caches=caches
+    )

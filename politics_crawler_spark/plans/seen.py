@@ -110,6 +110,103 @@ def update_seen(seen: DataFrame, new_keys: DataFrame, n_shards: int) -> DataFram
     )
 
 
+def probe_and_update(
+    cand_keys: DataFrame,
+    list_keys: DataFrame,
+    seen: DataFrame,
+    n_shards: int,
+) -> tuple[DataFrame, DataFrame]:
+    """FUSED probe + fold: ONE cogroup pass per round instead of two.
+
+    Input: candidate url_hashes (probed against the previous bloom version;
+    survivors are returned) and list-URL hashes (add-only — list pages are
+    never revisited, so they skip the probe). Inside each shard group the
+    bloom bytes deserialize ONCE; survivors are computed against the
+    pre-update bits (identical semantics to probe-then-fold), then ALL keys
+    fold in (adding an already-present key is a bloom no-op, so folding
+    every candidate — not just survivors — changes nothing and removes the
+    probe→fold data dependency).
+
+    Output rows share one schema, discriminated by nullability: survivor
+    rows carry ``url_hash`` (shard fields null), shard rows carry the new
+    bloom (``url_hash`` null). Caller localCheckpoints the union once and
+    splits it with two cheap filters — halving the per-round Python stage
+    dispatch + bloom (de)serialization that previously gated the fixed
+    round cost (BENCH_SCALING round-2 decomposition: t_seen ≈ 1.9 s of the
+    ~3.1 s round floor at 8 cores).
+
+    Returns (combined, survivors_view) where combined must be materialized
+    (localCheckpoint) before use; helper :func:`split_probe_update` does the
+    split.
+    """
+    keys = with_shard(
+        cand_keys.select("url_hash").withColumn("is_cand", F.lit(True)).unionByName(
+            list_keys.select("url_hash").withColumn("is_cand", F.lit(False))
+        ),
+        n_shards,
+    )
+
+    def _probe_fold(key, keys_pdf, seen_pdf):
+        if len(seen_pdf) == 0:
+            shard = BloomShard.sized_for(DEFAULT_KEYS_PER_SHARD, DEFAULT_FPR)
+            version = 0
+        else:
+            shard = BloomShard.from_bytes(seen_pdf["bloom"].iloc[0])
+            version = int(seen_pdf["version"].iloc[0])
+        cand = keys_pdf.loc[keys_pdf["is_cand"], "url_hash"]
+        if len(cand):
+            mask = shard.contains(cand.to_numpy(dtype=np.int64))
+            surv = cand[~mask]
+        else:
+            surv = cand
+        if len(keys_pdf) == 0:
+            new_bloom, new_version, nk = (
+                (seen_pdf["bloom"].iloc[0], version, int(seen_pdf["n_keys"].iloc[0]))
+                if len(seen_pdf)
+                else (shard.to_bytes(), 0, 0)
+            )
+        else:
+            shard.add(keys_pdf["url_hash"].to_numpy(dtype=np.int64))
+            new_bloom, new_version, nk = shard.to_bytes(), version + 1, shard.n_keys
+        # nullable Int64 arrays: a plain list with None would coerce to
+        # float64 and corrupt 64-bit url_hash values past 2^53
+        return pd.DataFrame(
+            {
+                "url_hash": pd.array(
+                    list(surv.astype("int64")) + [None], dtype="Int64"
+                ),
+                "shard_id": pd.array(
+                    [None] * len(surv) + [int(key[0])], dtype="Int32"
+                ),
+                "version": pd.array(
+                    [None] * len(surv) + [new_version], dtype="Int64"
+                ),
+                "bloom": pd.Series([None] * len(surv) + [new_bloom], dtype="object"),
+                "n_keys": pd.array([None] * len(surv) + [nk], dtype="Int64"),
+            }
+        )
+
+    combined = (
+        keys.groupBy("shard_id")
+        .cogroup(seen.groupBy("shard_id"))
+        .applyInPandas(
+            _probe_fold,
+            schema="url_hash long, shard_id int, version long, bloom binary, n_keys long",
+        )
+    )
+    return combined
+
+
+def split_probe_update(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a materialized probe_and_update output into (survivor url_hashes,
+    new seen table)."""
+    survivors = combined.filter(F.col("url_hash").isNotNull()).select("url_hash")
+    new_seen = combined.filter(F.col("bloom").isNotNull()).select(
+        "shard_id", "version", "bloom", "n_keys"
+    )
+    return survivors, new_seen
+
+
 def filter_unseen_exact(candidates: DataFrame, seen_exact: DataFrame) -> DataFrame:
     """Exact-set verification path: left-anti join on url_hash."""
     return candidates.join(seen_exact.select("url_hash"), on="url_hash", how="left_anti")

@@ -45,6 +45,37 @@ def test_minhash_dedup_collapses(spark):
     assert 4 in ids
 
 
+def test_connected_min_reps_chain(spark):
+    """Component labeling must be TRANSITIVE: in pairs (10,50),(30,50) the
+    min-id single-hop rule would keep 30 (it never appears as id_b), but all
+    three are one component — only 10 survives."""
+    from politics_crawler_spark.operators.dedup import connected_min_reps
+
+    pairs = spark.createDataFrame(
+        [(10, 50), (30, 50), (70, 80), (80, 90)], "id_a long, id_b long"
+    )
+    reps = {r.node: r.rep for r in connected_min_reps(pairs).collect()}
+    assert reps == {10: 10, 50: 10, 30: 10, 70: 70, 80: 70, 90: 70}
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    """A~B~C with A≁C (overlapping word windows): the connected-component
+    collapse keeps only A; the old single-hop rule would have kept C too
+    whenever C only paired 'upward'."""
+    from politics_crawler_spark.operators.dedup import minhash_dedup
+
+    words = [f"tok{i:03d}" for i in range(60)]
+    a = " ".join(words[0:40])
+    b = " ".join(words[10:50])   # J(a,b) ≈ 0.6 by word overlap
+    c = " ".join(words[20:60])   # J(b,c) ≈ 0.6, J(a,c) ≈ 0.33 < 0.5
+    far = "entirely unrelated content words xylophone quartz bumblebee"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, far)], "doc_id long, text string"
+    )
+    out = {r.doc_id for r in minhash_dedup(df, threshold=0.5).collect()}
+    assert out == {1, 9}, f"expected component collapse to min id, got {out}"
+
+
 def test_simhash_locality(spark):
     from politics_crawler_spark.operators.dedup import make_simhash_udf
 
