@@ -283,28 +283,55 @@ def q16_simhash_pairs(spark, sf):
     return exact_jaccard_verify(cands, d, k=5, threshold=0.5).orderBy("id_a", "id_b")
 
 
-def q17_lsh_ann(spark, sf):
-    """Hyperplane-LSH ANN graded by a recall CONTRACT: the LSH top-k is
-    joined against the exact cosine top-k (q14's oracle-proven result);
-    the oracle asserts full recall (n_hits=10) per query. Random vectors
-    are LSH's worst case, hence low bits × many tables."""
-    from politics_crawler_spark.operators.similarity import cosine_topk, lsh_topk
+def _ann_ground_truth(spark):
+    """Exact top-10 per query on the clustered embeddings, computed by an
+    INDEPENDENT numpy brute force (sources/synthetic_embeddings.py — never
+    touches the Spark operators) and shipped in as a tiny literal frame."""
+    from politics_crawler_spark.sources.synthetic_embeddings import exact_topk_np
 
-    emb = _t(spark, sf, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    exact = cosine_topk(emb, queries, k=10)
-    approx = lsh_topk(emb, queries, k=10, bits=3, tables=16)
+    return spark.createDataFrame(
+        [(q, n) for q, n, _, _ in exact_topk_np()],
+        "query_id long, neighbor_id long",
+    )
+
+
+def _mean_recall_contract(spark, approx, n_queries: int, k: int = 10):
+    """mean recall@k over ``n_queries`` vs the independent numpy exact
+    top-k (the ann-benchmarks metric) → one graded row
+    (n_queries, mean_recall_ok)."""
     hits = approx.join(
-        exact.select("query_id", "neighbor_id"),
+        F.broadcast(_ann_ground_truth(spark)),
         on=["query_id", "neighbor_id"],
         how="left_semi",
     )
-    return (
-        hits.groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
-        .withColumn("recall", F.round(F.col("n_hits") / 10.0, 4))
-        .orderBy("query_id")
+    return hits.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        ((F.count("*") / F.lit(float(n_queries * k))) >= 0.9).alias(
+            "mean_recall_ok"
+        ),
     )
+
+
+def q17_lsh_ann(spark, sf):
+    """Hyperplane-LSH ANN graded SCALE-HONESTLY: clustered synthetic
+    embeddings (Gaussian mixture — real embedding corpora cluster; uniform
+    random is the degenerate case where no partition index can prune), a
+    PRUNING config (bits=10 × 6 tables ⇒ measured candidate volume ≈6% of
+    N·Q, tests/test_ann_clustered.py asserts it; numpy-measured mean
+    recall 0.983), and a mean-recall@10 ≥ 0.9 contract over 100 queries
+    against the independent numpy exact top-k. The dataset is
+    self-synthesized (50k × 32, deterministic), so the gate is
+    scale-factor-independent."""
+    from politics_crawler_spark.operators.similarity import lsh_topk
+    from politics_crawler_spark.sources.synthetic_embeddings import (
+        DEFAULT_QUERIES,
+        synthesize_embeddings,
+    )
+
+    emb = synthesize_embeddings(spark).persist()  # scanned by both join sides
+    queries = emb.filter(F.col("vec_id") < DEFAULT_QUERIES)
+    approx = lsh_topk(emb, queries, k=10, bits=10, tables=6)
+    return _mean_recall_contract(spark, approx, DEFAULT_QUERIES)
 
 
 def q18_crawl_flagship(spark, sf):
@@ -537,29 +564,43 @@ def q33_minhash_dedup(spark, sf):
 
 
 def q32_ivf_ann(spark, sf):
-    """IVF ANN (k-means coarse quantizer + probed-cell exact re-rank),
-    graded by the same full-recall contract as q17 — the two ANN index
-    styles (data-adaptive IVF vs data-oblivious hyperplane LSH) are held to
-    one exact ground truth."""
-    from politics_crawler_spark.operators.similarity import cosine_topk, ivf_topk
-
-    emb = _t(spark, sf, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 5)
-    exact = cosine_topk(emb, queries_df, k=10)
-    # random vectors are the worst case for any partition-based ANN: cosine
-    # top-10 spreads across most cells, so near-exhaustive probing is what
-    # full recall costs here (real embedding corpora cluster; n_probe drops)
-    approx = ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=14)
-    hits = approx.join(
-        exact.select("query_id", "neighbor_id"),
-        on=["query_id", "neighbor_id"],
-        how="left_semi",
+    """IVF ANN under the same scale-honest contract as q17: clustered
+    embeddings, pruning config (64 cells, n_probe=4 ⇒ candidate volume ≈7%
+    of N·Q; numpy-measured mean recall 0.993), mean-recall@10 ≥ 0.9 over
+    100 queries vs the independent numpy exact top-k. The two index styles
+    (data-adaptive IVF vs data-oblivious hyperplane LSH) are held to one
+    ground truth."""
+    from politics_crawler_spark.operators.similarity import ivf_topk
+    from politics_crawler_spark.sources.synthetic_embeddings import (
+        DEFAULT_QUERIES,
+        synthesize_embeddings,
     )
+
+    emb = synthesize_embeddings(spark).persist()  # sample collect + 2 scans
+    queries_df = emb.filter(F.col("vec_id") < DEFAULT_QUERIES)
+    approx = ivf_topk(emb, queries_df, k=10, n_cells=64, n_probe=4)
+    return _mean_recall_contract(spark, approx, DEFAULT_QUERIES)
+
+
+def q34_ann_exact_clustered(spark, sf):
+    """Brute-force exact top-k on the SAME clustered embeddings q17/q32
+    prune — the bench baseline the approximate indexes must beat (they
+    examine ~6% of the 50k×100 pair space; this scans all of it), and a
+    value-level parity check of cosine_topk against the independent numpy
+    ground truth (sim omitted from the graded projection; rank order pins
+    it through the rounded-sim window)."""
+    from politics_crawler_spark.operators.similarity import cosine_topk
+    from politics_crawler_spark.sources.synthetic_embeddings import (
+        DEFAULT_QUERIES,
+        synthesize_embeddings,
+    )
+
+    emb = synthesize_embeddings(spark).persist()
+    queries_df = emb.filter(F.col("vec_id") < DEFAULT_QUERIES)
     return (
-        hits.groupBy("query_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
-        .withColumn("recall", F.round(F.col("n_hits") / 10.0, 4))
-        .orderBy("query_id")
+        cosine_topk(emb, queries_df, k=10)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
     )
 
 
@@ -598,11 +639,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_ngram_jaccard": q31_ngram_jaccard,
         "q32_ivf_ann": q32_ivf_ann,
         "q33_minhash_dedup": q33_minhash_dedup,
+        "q34_ann_exact_clustered": q34_ann_exact_clustered,
     }
 
 
 _EN = "(the|and|of|to|a|in|is|it)"
 _ES = "(el|la|de|que|y|en)"
+
+_ANN_RECALL_ORACLE = """
+    SELECT CAST(100 AS BIGINT) AS n_queries, true AS mean_recall_ok
+"""
+
+
+def _ann_exact_oracle() -> str:
+    """VALUES literal of the independent numpy exact top-k (query_id,
+    neighbor_id, rank) on the clustered embeddings."""
+    from politics_crawler_spark.sources.synthetic_embeddings import exact_topk_np
+
+    rows = ", ".join(
+        f"(CAST({q} AS BIGINT), CAST({n} AS BIGINT), CAST({r} AS BIGINT))"
+        for q, n, _, r in exact_topk_np()
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(query_id, neighbor_id, rank) "
+        "ORDER BY query_id, rank"
+    )
 
 # Exact all-pairs character-5-gram Jaccard (ground truth for q15/q16).
 _EXACT_JACCARD_ORACLE = """
@@ -757,20 +818,16 @@ def oracle_sql() -> dict[str, str]:
         # the row-count match.
         "q15_minhash_pairs": _EXACT_JACCARD_ORACLE,
         "q16_simhash_pairs": _EXACT_JACCARD_ORACLE,
-        # Recall contract: the LSH ANN result must contain the full exact
-        # top-10 of every query (exact side is q14's oracle-proven query).
-        "q17_lsh_ann": """
-            SELECT vec_id AS query_id,
-                   CAST(10 AS BIGINT) AS n_hits,
-                   CAST(1.0 AS DOUBLE) AS recall
-            FROM embeddings WHERE vec_id < 5 ORDER BY query_id
-        """,
-        "q32_ivf_ann": """
-            SELECT vec_id AS query_id,
-                   CAST(10 AS BIGINT) AS n_hits,
-                   CAST(1.0 AS DOUBLE) AS recall
-            FROM embeddings WHERE vec_id < 5 ORDER BY query_id
-        """,
+        # Recall ≥ 0.9 contracts on self-synthesized CLUSTERED embeddings
+        # (scale-factor-independent; pruning configs, not near-exhaustive
+        # ones — candidate volume is asserted ≪ N·Q in
+        # tests/test_ann_clustered.py).
+        "q17_lsh_ann": _ANN_RECALL_ORACLE,
+        "q32_ivf_ann": _ANN_RECALL_ORACLE,
+        # Exact brute-force parity on the same clustered set: the literal
+        # rows come from the independent numpy ground truth (computed fresh
+        # inside oracle_sql(), no pasted constants to go stale).
+        "q34_ann_exact_clustered": _ann_exact_oracle(),
         # Survivors of the exact ground-truth collapse under the
         # CONNECTED-COMPONENT rule (community-standard transitive dedup):
         # a doc is dropped iff a SMALLER-id doc is reachable through the

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "q17_lsh_ann",
     "q32_ivf_ann",
     "q33_minhash_dedup",
+    "q34_ann_exact_clustered",  # brute-force baseline q17/q32 must beat
 ]
 
 

@@ -100,6 +100,71 @@ def make_hyperplane_udf(bits: int = 12, seed: int = 11, dim: int | None = None):
     return bucket_udf
 
 
+def make_multitable_bucket_udf(
+    bits: int, tables: int, seed_base: int = 100, dim: int | None = None
+):
+    """All ``tables`` hyperplane buckets of a vector in ONE Arrow pass
+    (array<long>, one bucket per table) — a per-table UDF would rescan the
+    vector column ``tables`` times. Plane matrices match
+    :func:`make_hyperplane_udf` (``seed_base + t``) bit-for-bit."""
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def _planes(d: int) -> np.ndarray:
+        if d not in planes_cache:
+            planes_cache[d] = np.stack(
+                [
+                    np.random.default_rng(seed_base + t).standard_normal((d, bits))
+                    for t in range(tables)
+                ]
+            )  # (tables, d, bits)
+        return planes_cache[d]
+
+    if dim is not None:
+        _planes(dim)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        pl = _planes(mat.shape[1])
+        signs = np.einsum("nd,tdb->ntb", mat, pl) > 0
+        vals = (signs * (1 << np.arange(bits))).sum(axis=2)  # (n, tables)
+        return pd.Series([row.astype(np.int64).tolist() for row in vals])
+
+    return buckets_udf
+
+
+def lsh_candidates(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int | None = None,
+    bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate (q_id, n_id, q_vec, n_vec) pairs from random-hyperplane
+    bucketing — the prune stage of :func:`lsh_topk`, exposed so tests can
+    assert candidate volume ≪ N·Q for a given config."""
+    udf = make_multitable_bucket_udf(bits, tables, dim=dim)
+
+    def bucketize(df, prefix):
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.posexplode(udf(F.col(vec_col))).alias("table", "bucket"),
+        )
+
+    v = bucketize(vectors, "n")
+    q = bucketize(queries, "q")
+    return (
+        v.join(F.broadcast(q), on=["table", "bucket"])
+        .filter(F.col("n_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -116,31 +181,7 @@ def lsh_topk(
     bucket); candidate volume ~N/2^bits per table instead of N. ``dim`` is
     optional (plans derive it from the data inside the UDF).
     """
-    bucketers = [make_hyperplane_udf(bits, seed=100 + t, dim=dim) for t in range(tables)]
-
-    def bucketize(df, prefix):
-        parts = []
-        for t, udf in enumerate(bucketers):
-            parts.append(
-                df.select(
-                    F.col(id_col).alias(f"{prefix}_id"),
-                    F.col(vec_col).alias(f"{prefix}_vec"),
-                    F.lit(t).alias("table"),
-                    udf(F.col(vec_col)).alias("bucket"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    v = bucketize(vectors, "n")
-    q = bucketize(queries, "q")
-    cands = (
-        v.join(F.broadcast(q), on=["table", "bucket"])
-        .filter(F.col("n_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "n_id"])
-    )
+    cands = lsh_candidates(vectors, queries, dim, bits, tables, id_col, vec_col)
     sim = F.round(_cosine(F.col("q_vec"), F.col("n_vec")), 4)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
@@ -196,6 +237,44 @@ def make_cell_udf(centroids: np.ndarray, n_probe: int = 1):
     return cells_udf
 
 
+def ivf_candidates(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_n: int = 2048,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate (q_id, n_id, q_vec, n_vec) pairs from probed IVF cells —
+    the prune stage of :func:`ivf_topk`, exposed for candidate-volume
+    assertions."""
+    sample = np.asarray(
+        [r[0] for r in vectors.select(vec_col).limit(sample_n).collect()],
+        dtype=np.float64,
+    )
+    cent = _kmeans(sample, n_cells, seed)
+    v_cells = make_cell_udf(cent, n_probe=1)
+    q_cells = make_cell_udf(cent, n_probe=n_probe)
+
+    v = vectors.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.explode(v_cells(F.col(vec_col))).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(q_cells(F.col(vec_col))).alias("cell"),
+    )
+    return (
+        v.join(F.broadcast(q), on="cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "n_id"])
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -217,28 +296,8 @@ def ivf_topk(
     candidate volume ≈ N * n_probe / n_cells. Data-adaptive (centroids
     follow the distribution), unlike hyperplane LSH.
     """
-    sample = np.asarray(
-        [r[0] for r in vectors.select(vec_col).limit(sample_n).collect()],
-        dtype=np.float64,
-    )
-    cent = _kmeans(sample, n_cells, seed)
-    v_cells = make_cell_udf(cent, n_probe=1)
-    q_cells = make_cell_udf(cent, n_probe=n_probe)
-
-    v = vectors.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        F.explode(v_cells(F.col(vec_col))).alias("cell"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(q_cells(F.col(vec_col))).alias("cell"),
-    )
-    cands = (
-        v.join(F.broadcast(q), on="cell")
-        .filter(F.col("n_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "n_id"])
+    cands = ivf_candidates(
+        vectors, queries, n_cells, n_probe, sample_n, seed, id_col, vec_col
     )
     sim = F.round(_cosine(F.col("q_vec"), F.col("n_vec")), 4)
     w = Window.partitionBy("query_id").orderBy(
