@@ -59,25 +59,15 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint,
     )
     res.extracted.write.mode("overwrite").parquet(args.out)
-    metrics_df(spark, res.metrics).write.mode("overwrite").parquet(args.out + "_metrics")
+    # after the terminal write: the per-stage Observations have resolved
+    metrics_df(spark, res).write.mode("overwrite").parquet(args.out + "_metrics")
     print(json.dumps({"rounds": res.rounds, "metrics": res.metrics}))
 
 
-def metrics_df(spark, metrics: list[dict]):
-    """Per-round metrics as a frame (METRICS-table surface for dashboards)."""
-    return spark.createDataFrame(
-        [
-            {
-                "round": m["round"],
-                "stage": "round",
-                "n_in": m["list_pages"],
-                "n_out": m["extracted"],
-                "wall_ms": m["wall_ms"],
-            }
-            for m in metrics
-        ],
-        schema="round int, stage string, n_in long, n_out long, wall_ms long",
-    )
+def metrics_df(spark, res):
+    """The A2 METRICS surface (schemas.METRICS): per-round × per-stage rows
+    fed by the crawl's own Observations (see CrawlResult.metrics_table)."""
+    return res.metrics_table(spark)
 
 
 if __name__ == "__main__":

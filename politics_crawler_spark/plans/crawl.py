@@ -81,6 +81,70 @@ class CrawlResult:
     # persisted DataFrames still referenced by the (lazy) `extracted` plan in
     # defer mode — callers unpersist these AFTER their terminal action
     caches: list[DataFrame] = field(default_factory=list)
+    # (round, stage-observation dict) pairs backing metrics_table()
+    stage_obs: list = field(default_factory=list)
+    # run-level setup walls (salt-plan pre-pass, list-pool staging)
+    setup_ms: dict = field(default_factory=dict)
+
+    def metrics_table(self, spark: SparkSession, run_id: str = "run0") -> DataFrame:
+        """The A2 METRICS surface (schemas.METRICS) fed by per-stage
+        Observations — counts come from the SAME jobs that ran the crawl
+        (observe() piggy-backs metrics on existing actions; zero extra
+        jobs, zero driver-side recount). The reference's success/fail
+        accounting (crawler_schedule.py:85-122) is the per-run flat view
+        of these rows.
+
+        Call AFTER the terminal action on ``extracted`` (in defer mode the
+        extract-stage observations only resolve then; Observation.get
+        blocks otherwise).
+        """
+        from ..schemas import METRICS
+
+        def val(obs, key):
+            # Rounds whose list fetch matches nothing get optimized to an
+            # empty LocalRelation; PropagateEmptyRelation drops the
+            # CollectMetrics node, so .get raises instead of returning a
+            # zero row — an empty round IS zero.
+            try:
+                return int(obs.get[key] or 0)
+            except Exception:
+                return 0
+
+        rows = []
+        total_unseen = 0
+        for rnd, st in self.stage_obs:
+            m = next((x for x in self.metrics if x["round"] == rnd), {})
+
+            def mk(stage, n_in, n_out, n_filtered=0, n_dup=0, n_error=0, wall_ms=0):
+                return {
+                    "run_id": run_id, "round": rnd, "stage": stage,
+                    "community": None, "n_in": n_in, "n_out": n_out,
+                    "n_filtered": n_filtered, "n_dup": n_dup,
+                    "n_error": n_error, "wall_ms": wall_ms,
+                }
+
+            if "cand" in st:
+                n_cand = val(st["cand"], "n")
+                n_sel = val(st["sel"], "n")
+                n_uns = val(st["unseen"], "n")
+                total_unseen += n_uns
+                rows.append(mk("list", m.get("list_pages", 0), n_cand,
+                               wall_ms=m.get("t_build_ms", 0)))
+                rows.append(mk("select", n_cand, n_sel, n_filtered=n_cand - n_sel))
+                rows.append(mk("seen", n_sel, n_uns, n_dup=n_sel - n_uns,
+                               wall_ms=m.get("t_seen_ms", 0)))
+            # defer mode: the per-round dict has no attached ext obs; one
+            # terminal (round=-1) row covers all rounds' extraction, with
+            # n_in = every round's seen-filter survivors
+            ext_obs = st.get("ext")
+            if ext_obs is not None and getattr(ext_obs, "_jo", None) is not None:
+                n_ext = val(ext_obs, "n")
+                n_err = val(ext_obs, "n_error")
+                n_in = val(st["unseen"], "n") if "unseen" in st else total_unseen
+                rows.append(mk("extract", n_in, n_ext - n_err,
+                               n_filtered=n_in - n_ext, n_error=n_err,
+                               wall_ms=m.get("wall_ms", 0)))
+        return spark.createDataFrame(rows, schema=METRICS)
 
 
 def _board_frontier_rows(
@@ -249,15 +313,22 @@ def run_crawl(
     if pages is None:
         if fetcher is None:
             raise ValueError("run_crawl needs a pages snapshot or a fetcher")
-        pages_slim, salt_plan = None, {}
+        pages_slim, salt_plan, t_salt, t_pool = None, {}, 0.0, 0.0
     else:
-        pages_slim = pages.select("url", "html", "warc_ts")
-        # Politeness salt factors from the snapshot's host distribution — one
-        # pre-pass for the whole run (hosts are stable across depth rounds).
-        salt_plan = host_salt_plan(
-            pages.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host")),
-            target_rows_per_task=host_target_rows,
-        )
+        pages_slim = pages.select("url", "html")
+        salt_plan = {}
+        t_salt0 = time.time()
+        if fetcher is not None:
+            # Politeness salt factors from the snapshot's host distribution
+            # — one pre-pass for the whole run (hosts are stable across
+            # depth rounds). Only the LIVE fetch path partitions by host
+            # (it rate-shapes HTTP requests); the snapshot "fetch" is a
+            # scan, so this pre-pass would be a dead full-url scan there.
+            salt_plan = host_salt_plan(
+                pages.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("host")),
+                target_rows_per_task=host_target_rows,
+            )
+        t_salt = time.time() - t_salt0
         # Stage the LIST-PAGE POOL once: every list URL any round could
         # fetch (boards × max_pages — bounded by P8 page budgets, tiny
         # relative to the snapshot) is known upfront, so ONE semi-join
@@ -274,6 +345,7 @@ def run_crawl(
         # parse stragglers halved 8-core throughput); hashing on url gives
         # every parse task an equal slice. One bounded shuffle, paid once
         # per run.
+        t_pool0 = time.time()
         lists_pool = (
             pages_slim.join(
                 F.broadcast(spark.createDataFrame(all_list_urls, "url string")),
@@ -283,9 +355,112 @@ def run_crawl(
             .repartition(spark.sparkContext.defaultParallelism * 4, "url")
             .persist()
         )
+        # materialize eagerly: the pool scan is a run-level cost, not round
+        # 0's — keeping it out of t_seen makes the phase walls honest
+        lists_pool.count()
+        t_pool = time.time() - t_pool0
     t0 = time.time()
     rnd = start_round
     round_caches: list[DataFrame] = []
+    stage_obs: list = []
+    detail_parts: list[DataFrame] = []  # defer mode: slim candidates per round
+
+    def _extract_at_scan(detail: DataFrame) -> DataFrame:
+        """Snapshot-mode detail "fetch" + parse with ZERO html movement:
+
+        1. semi-join the snapshot against a NARROW url-only broadcast
+           (bounded by P8 budgets; single strings, so the driver-side
+           hash-relation build stays tiny) — the full snapshot streams and
+           only matched pages survive;
+        2. the parse UDF runs ON the scan output (site re-derived from the
+           url host, exactly the dispatch rule of ``site_expr``) — html is
+           consumed where it is read and never enters an exchange;
+        3. only the slim extraction results (content/images/dates, ~KBs)
+           shuffle into the equi-join with candidate metadata.
+        """
+        from ..operators.extract import site_expr
+
+        matched = pages_slim.select("url", "html").join(
+            F.broadcast(detail.select("url")), on="url", how="left_semi"
+        )
+        ext = with_extraction(
+            matched.withColumn(
+                "_site", site_expr(F.parse_url(F.col("url"), F.lit("HOST")))
+            ),
+            site_col="_site",
+        ).drop("html", "_site")
+        return ext.join(detail, on="url", how="inner")
+
+    def _finish(ext: DataFrame, ext_obs) -> DataFrame:
+        """F5 detail-date filter, F6 status filter (observed for METRICS),
+        final EXTRACTED projection — round-independent."""
+        ext = ext.filter(
+            ~F.col("check_detail_date")
+            | F.col("actual_date").isNull()
+            | is_today(F.col("actual_date"), run_date)
+        )
+        ext = ext.observe(
+            ext_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum((F.col("status") != "ok").cast("long")), F.lit(0)
+            ).alias("n_error"),
+        )
+        ext = ext.filter(F.col("status") == "ok")
+        return ext.select(
+            F.col("url"),
+            F.col("community"),
+            # detail-page-recovered id wins over the list-derived one
+            # (bobaedream ipAdd: bobaedream_bestboard.py:123-126)
+            F.coalesce(
+                F.col("post_id_rec"),
+                F.when(F.col("post_no") != "", F.col("post_no")),
+                F.lit("N/A"),
+            ).alias("post_id"),
+            F.col("category"),
+            # L8: dcinside strips its "[category]" title prefix
+            F.when(
+                F.col("site") == "dcinside",
+                F.trim(F.expr("replace(title, concat('[', category, ']'), '')")),
+            ).otherwise(F.col("title")).alias("title"),
+            F.col("url").alias("link"),
+            F.col("writer"),
+            F.coalesce(F.col("actual_date"), F.col("date")).alias("date"),
+            F.col("views"),
+            # theqoo quirk FROZEN from the reference: the reply count
+            # (a.replyNum) is stored in the Recommend field, int-if-digits
+            # else 0 (theqoo_hotboard.py:145-147,160)
+            F.when(
+                F.col("site") == "theqoo",
+                F.coalesce(
+                    F.when(
+                        F.col("reply_txt").rlike(r"^\d+$"),
+                        F.col("reply_txt").cast("long"),
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .otherwise(
+                F.coalesce(
+                    F.col("recommend_raw").try_cast("long"), F.col("list_recommend")
+                )
+            )
+            .alias("recommend"),
+            # L10: comment counts exist only for instiz/clien/82cook in the
+            # reference (instiz_issue.py:166-174 bracket regex et al.)
+            F.when(
+                F.col("site").isin("instiz", "clien", "82cook"),
+                F.regexp_extract(F.col("cmt_txt"), r"\[?(\d+)\]?", 1).try_cast("long"),
+            ).otherwise(F.lit(None).cast("long")).alias("comments"),
+            F.col("content"),
+            F.col("images"),
+            F.col("status"),
+            *(
+                [F.col("site_rank"), F.col("page_no"), F.col("row_idx"), F.col("board")]
+                if keep_lineage
+                else []
+            ),
+        )
     if max_rounds is not None:
         total_rounds = max_rounds
     else:
@@ -328,7 +503,13 @@ def run_crawl(
                 F.col("fetch_status").isin("ok", "short")
             ).drop("fetch_status", "http_code", "attempts", "ua")
 
-        cand_raw = parse_list_pages(lists.drop("warc_ts"))
+        from pyspark.sql import Observation as _Obs
+
+        # Per-stage metric observations (A2 METRICS table): piggy-back on
+        # the jobs the round already runs — no extra actions.
+        st_obs = {"cand": _Obs(), "sel": _Obs(), "unseen": _Obs(), "ext": _Obs()}
+
+        cand_raw = parse_list_pages(lists)
         cand = (
             cand_raw.filter(~F.col("is_notice"))  # F2
             .withColumn("link", canonical_url(F.col("url"), F.col("href")))
@@ -337,6 +518,7 @@ def run_crawl(
             .withColumn("views", parse_views(F.col("views_txt")))
             .withColumn("list_recommend", parse_recommend(F.col("rec_txt")))
             .withColumn("today", is_today(F.col("date"), run_date))
+            .observe(st_obs["cand"], F.count(F.lit(1)).alias("n"))
         ).persist()
 
         # P9 staleness, computed DISTRIBUTED: the sequential per-board
@@ -418,6 +600,7 @@ def run_crawl(
             from .robots import gate_by_robots
 
             selected = gate_by_robots(selected, robots, host_col="host", url_col="link")
+        selected = selected.observe(st_obs["sel"], F.count(F.lit(1)).alias("n"))
 
         # D1 add-at-select (ruliweb_politics.py:236-241 — the reference
         # marks candidates seen BEFORE the detail fetch; the ordering
@@ -456,6 +639,8 @@ def run_crawl(
             seen = seen_mod.update_seen(
                 seen, unseen.select("url_hash").unionByName(frontier_keys), n_shards
             ).localCheckpoint(eager=True)
+        unseen_cache = unseen  # persist handle (observe() wraps the plan)
+        unseen = unseen.observe(st_obs["unseen"], F.count(F.lit(1)).alias("n"))
         t_seen = time.time() - round_t0 - t_pre_seen
 
         # P9 driver-state update reads the CACHED cand (the seen job above
@@ -474,125 +659,57 @@ def run_crawl(
         # the terminal job re-reads `cand` — candidate volume is bounded
         # by P8 page budgets, a sliver of the snapshot)
 
-        # detail "fetch" + extraction, politeness-partitioned by host.
-        # Synthetic mode: the pages join IS the fetch, so the politeness
-        # repartition applies to its output; live mode: the repartition runs
-        # BEFORE the HTTP stage so every host's requests execute inside its
-        # own salted task(s).
+        # detail "fetch" + extraction.
+        # Snapshot mode: EXTRACTION RUNS AT THE SCAN (_extract_at_scan) —
+        # the parse UDF consumes html directly off the parquet scan and
+        # only slim extraction results join with candidate metadata, so
+        # html bytes never enter an exchange (round-3 decomposition: the
+        # old pages⋈candidates SMJ + politeness repartition shuffled the
+        # html twice and capped terminal 2→8 scaling at 0.54). The
+        # politeness repartition is a LIVE-mode concern (it rate-shapes
+        # HTTP requests per host); a snapshot "fetch" is a scan, where
+        # partition-level load balancing comes from the file splits.
+        # Live mode: the repartition runs BEFORE the HTTP stage so every
+        # host's requests execute inside its own salted task(s).
         detail = unseen.drop("url").withColumnRenamed("link", "url")
-        if fetcher is None:
-            # Two-step fetch join keeps BOTH heavy paths cheap:
-            # 1. semi-join the snapshot against a NARROW url-only broadcast
-            #    (bounded by P8 budgets; single strings, so the driver-side
-            #    broadcast build stays tiny) — the full snapshot streams,
-            #    its html bytes never enter an exchange, and only matched
-            #    pages survive;
-            # 2. equi-join matched pages ⋈ candidates — a small shuffle
-            #    (candidate-sized, not snapshot-sized) that scales with
-            #    cores. Broadcasting the full candidate rows instead would
-            #    serialize a multi-MB hash-relation build on the driver —
-            #    a measured flat ~5 s that caps N→4N scaling.
-            matched = pages_slim.withColumnRenamed("warc_ts", "page_warc_ts").join(
-                F.broadcast(detail.select("url")), on="url", how="left_semi"
-            )
-            detail = matched.join(detail, on="url", how="inner")
-            detail = salted_repartition_by_host(
-                detail, host_col="host", url_col="url", salt_plan=salt_plan
-            )
+        if defer and fetcher is None:
+            # extraction FULLY deferred: bank this round's slim candidate
+            # rows; ONE terminal snapshot scan serves every round (R
+            # rounds previously cost R full scans in the terminal plan)
+            detail_parts.append(detail)
+            out, n_extracted = None, None
         else:
-            detail = salted_repartition_by_host(
-                detail, host_col="host", url_col="url", salt_plan=salt_plan
-            )
-            from pyspark.sql import Observation
-
-            det_obs = Observation()
-            fetched_detail = (
-                fetcher(detail, url_col="url")
-                .observe(
-                    det_obs,
-                    F.sum("attempts").alias("attempts"),
-                    F.count(F.lit(1)).alias("n_fetches"),
+            if fetcher is None:
+                ext = _extract_at_scan(detail)
+            else:
+                detail = salted_repartition_by_host(
+                    detail, host_col="host", url_col="url", salt_plan=salt_plan
                 )
-                .persist()  # fetch side effects must run exactly once: the
-                # round's out.count() materializes this cache, and the seen
-                # update below re-reads it instead of re-fetching
-            )
-            # ok AND short proceed to parsing (instiz gives up WITH the
-            # short body and parses it — instiz_issue.py:221-229)
-            detail = fetched_detail.filter(
-                F.col("fetch_status").isin("ok", "short")
-            ).drop("fetch_status", "http_code", "attempts", "ua")
-        ext = with_extraction(detail)
+                from pyspark.sql import Observation
 
-        # F5: boards with authoritative detail dates drop non-today posts
-        ext = ext.filter(
-            ~F.col("check_detail_date")
-            | F.col("actual_date").isNull()
-            | is_today(F.col("actual_date"), run_date)
-        )
-        # F6: sentinel/error statuses out
-        ext = ext.filter(F.col("status") == "ok")
-
-        out = ext.select(
-            F.col("url"),
-            F.col("community"),
-            # detail-page-recovered id wins over the list-derived one
-            # (bobaedream ipAdd: bobaedream_bestboard.py:123-126)
-            F.coalesce(
-                F.col("post_id_rec"),
-                F.when(F.col("post_no") != "", F.col("post_no")),
-                F.lit("N/A"),
-            ).alias("post_id"),
-            F.col("category"),
-            # L8: dcinside strips its "[category]" title prefix
-            F.when(
-                F.col("site") == "dcinside",
-                F.trim(F.expr("replace(title, concat('[', category, ']'), '')")),
-            ).otherwise(F.col("title")).alias("title"),
-            F.col("url").alias("link"),
-            F.col("writer"),
-            F.coalesce(F.col("actual_date"), F.col("date")).alias("date"),
-            F.col("views"),
-            # theqoo quirk FROZEN from the reference: the reply count
-            # (a.replyNum) is stored in the Recommend field, int-if-digits
-            # else 0 (theqoo_hotboard.py:145-147,160)
-            F.when(
-                F.col("site") == "theqoo",
-                F.coalesce(
-                    F.when(
-                        F.col("reply_txt").rlike(r"^\d+$"),
-                        F.col("reply_txt").cast("long"),
-                    ),
-                    F.lit(0),
-                ),
-            )
-            .otherwise(
-                F.coalesce(
-                    F.col("recommend_raw").try_cast("long"), F.col("list_recommend")
+                det_obs = Observation()
+                fetched_detail = (
+                    fetcher(detail, url_col="url")
+                    .observe(
+                        det_obs,
+                        F.sum("attempts").alias("attempts"),
+                        F.count(F.lit(1)).alias("n_fetches"),
+                    )
+                    .persist()  # fetch side effects must run exactly once:
+                    # the round's out.count() materializes this cache, and
+                    # the seen update below re-reads it instead of
+                    # re-fetching
                 )
-            )
-            .alias("recommend"),
-            # L10: comment counts exist only for instiz/clien/82cook in the
-            # reference (instiz_issue.py:166-174 bracket regex et al.)
-            F.when(
-                F.col("site").isin("instiz", "clien", "82cook"),
-                F.regexp_extract(F.col("cmt_txt"), r"\[?(\d+)\]?", 1).try_cast("long"),
-            ).otherwise(F.lit(None).cast("long")).alias("comments"),
-            F.col("content"),
-            F.col("images"),
-            F.col("status"),
-            *(
-                [F.col("site_rank"), F.col("page_no"), F.col("row_idx"), F.col("board")]
-                if keep_lineage
-                else []
-            ),
-        )
+                # ok AND short proceed to parsing (instiz gives up WITH the
+                # short body and parses it — instiz_issue.py:221-229)
+                ext = with_extraction(
+                    fetched_detail.filter(
+                        F.col("fetch_status").isin("ok", "short")
+                    ).drop("fetch_status", "http_code", "attempts", "ua")
+                )
+            out = _finish(ext, st_obs["ext"])
 
-        if defer:
-            # extraction deferred to the terminal action: `out` stays lazy,
-            # rooted at the materialized probe survivors + cached cand
-            n_extracted = None
-        else:
+        if out is not None:
             out = out.persist()
             n_extracted = out.count()  # materializes the round output
             if fetcher is not None and use_bloom:
@@ -609,9 +726,9 @@ def run_crawl(
             for c in round_caches:
                 c.unpersist()
             round_caches.clear()
-            if unseen.is_cached:
-                unseen.unpersist()
-        extracted_parts.append(out)
+            if unseen_cache.is_cached:
+                unseen_cache.unpersist()
+            extracted_parts.append(out)
 
         # politeness budget accounting: the serial seconds the reference's
         # sleep-based schedule would spend on this round's fetches
@@ -638,10 +755,24 @@ def run_crawl(
             round_metrics["detail_fetches"] = int(do["n_fetches"] or 0)
             round_metrics["detail_fetch_attempts"] = int(do["attempts"] or 0)
         metrics.append(round_metrics)
+        stage_obs.append((rnd, st_obs))
 
         if checkpoint_dir:
             _commit_round(checkpoint_dir, rnd, out, seen, state, metrics)
         rnd += 1
+
+    if detail_parts:
+        # defer mode terminal: ONE snapshot scan + extract-at-scan over the
+        # union of every round's candidates (cross-round-unique by the seen
+        # filter); one METRICS extract row at round=-1 covers it
+        all_detail = detail_parts[0]
+        for p in detail_parts[1:]:
+            all_detail = all_detail.unionByName(p)
+        from pyspark.sql import Observation as _Obs2
+
+        term_obs = _Obs2()
+        extracted_parts.append(_finish(_extract_at_scan(all_detail), term_obs))
+        stage_obs.append((-1, {"ext": term_obs}))
 
     if extracted_parts:
         result = extracted_parts[0]
@@ -656,5 +787,7 @@ def run_crawl(
     if pages is not None:
         caches.append(lists_pool)
     return CrawlResult(
-        extracted=result, metrics=metrics, rounds=rnd, seen=seen, caches=caches
+        extracted=result, metrics=metrics, rounds=rnd, seen=seen, caches=caches,
+        stage_obs=stage_obs,
+        setup_ms={"t_salt_ms": int(t_salt * 1000), "t_pool_ms": int(t_pool * 1000)},
     )

