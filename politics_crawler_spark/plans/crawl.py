@@ -519,6 +519,12 @@ def run_crawl(
             .withColumn("list_recommend", parse_recommend(F.col("rec_txt")))
             .withColumn("today", is_today(F.col("date"), run_date))
             .observe(st_obs["cand"], F.count(F.lit(1)).alias("n"))
+            # F4 today-only BEFORE the persist: every downstream consumer —
+            # the staleness counts (non-today rows contribute 0; the page
+            # spine fills absent pages), the F3/F4 select, the detail
+            # candidates — reads today rows only, so caching the ~8×
+            # larger unfiltered candidate set was pure memory traffic
+            .filter(F.col("today"))
         ).persist()
 
         # P9 staleness, computed DISTRIBUTED: the sequential per-board

@@ -59,25 +59,62 @@ def run(cpus: int, mode: str) -> dict:
     return json.loads(lines[-1])
 
 
+CRAWL_INVOCATIONS = 3  # × 3 in-JVM trials = 9 pinned trials per leg
+
+
 def main():
     prep_snapshot()
     results = {}
-    for mode in ("crawl", "extract"):
-        ladder = {}
+
+    # Crawl: several INVOCATIONS per leg (fresh JVM each, 3 in-JVM trials),
+    # legs ALTERNATING, best-of-all-trials per leg. Rationale, measured:
+    # the first in-JVM trial pays ~15 s of JIT/codegen warmup, while
+    # long-lived JVMs accumulate checkpoint-block/GC churn that can triple
+    # a late trial's seen-stage wall (extract-mode trials in the same JVM
+    # stay ±3%, so it is session state, not host noise) — a fresh JVM per
+    # invocation bounds the churn, repeat=3 inside gives one warmed trial,
+    # and alternation makes host drift hit both legs equally.
+    ladder = {}
+    walls = {f"local{c}": [] for c in LADDER}
+    for inv in range(CRAWL_INVOCATIONS):
         for cpus in LADDER:
-            r = run(cpus, mode)
-            ladder[f"local{cpus}"] = r
-            print(json.dumps({"mode": mode, "cpus": cpus,
-                              "urls_per_sec": r["urls_per_sec"],
-                              "wall_sec": r["wall_sec"]}))
-        effs = {}
-        for lo, hi in ((2, 8), (4, 16), (8, 32)):
-            if f"local{lo}" in ladder and f"local{hi}" in ladder:
-                effs[f"{lo}to{hi}"] = round(
-                    (ladder[f"local{hi}"]["urls_per_sec"]
-                     / ladder[f"local{lo}"]["urls_per_sec"]) / 4.0, 3)
-        results[mode] = {"ladder": ladder, "scaling_efficiency": effs}
-        print(json.dumps({"mode": mode, "efficiency": effs}))
+            r = run(cpus, "crawl")
+            key = f"local{cpus}"
+            walls[key].extend(r.get("trial_walls", [r["wall_sec"]]))
+            if key not in ladder or r["wall_sec"] < ladder[key]["wall_sec"]:
+                ladder[key] = r
+            print(json.dumps({"mode": "crawl", "invocation": inv, "cpus": cpus,
+                              "wall_sec": r["wall_sec"],
+                              "trial_walls": r.get("trial_walls"),
+                              "urls_per_sec": r["urls_per_sec"]}))
+    for key in ladder:
+        ladder[key]["all_trial_walls"] = walls[key]
+    effs = {}
+    for lo, hi in ((2, 8), (4, 16), (8, 32)):
+        if f"local{lo}" in ladder and f"local{hi}" in ladder:
+            effs[f"{lo}to{hi}"] = round(
+                (ladder[f"local{hi}"]["urls_per_sec"]
+                 / ladder[f"local{lo}"]["urls_per_sec"]) / 4.0, 3)
+    results["crawl"] = {"ladder": ladder, "scaling_efficiency": effs}
+    print(json.dumps({"mode": "crawl", "efficiency": effs}))
+
+    # Extract: stable within a session; 3 in-JVM trials per leg
+    ladder = {}
+    for cpus in LADDER:
+        r = run(cpus, "extract")
+        ladder[f"local{cpus}"] = r
+        print(json.dumps({"mode": "extract", "cpus": cpus,
+                          "urls_per_sec": r["urls_per_sec"],
+                          "wall_sec": r["wall_sec"]}))
+    effs = {}
+    for lo, hi in ((2, 8), (4, 16), (8, 32)):
+        if f"local{lo}" in ladder and f"local{hi}" in ladder:
+            effs[f"{lo}to{hi}"] = round(
+                (ladder[f"local{hi}"]["urls_per_sec"]
+                 / ladder[f"local{lo}"]["urls_per_sec"]) / 4.0, 3)
+    results["extract"] = {"ladder": ladder, "scaling_efficiency": effs}
+    print(json.dumps({"mode": "extract", "efficiency": effs}))
+
     with open("/root/repo/BENCH_SCALING.json", "w") as f:
         json.dump(results, f, indent=2)
 

@@ -81,6 +81,8 @@ def main():
     import sys as _sys
 
     best = None
+    trial_walls: list[float] = []
+    best_phases: dict | None = None
     for trial in range(args.repeat):
         if args.mode == "crawl":
             from politics_crawler_spark.plans.crawl import run_crawl
@@ -120,22 +122,30 @@ def main():
             n_out = out.filter(F.col("status") == "ok").count()
             wall = time.time() - t0
             urls = n_out
+        trial_walls.append(round(wall, 2))
         if best is None or wall < best[0]:
             best = (wall, urls)
+            if args.mode == "crawl":
+                best_phases = {
+                    "setup": res.setup_ms,
+                    "t_loop": round(t_loop, 2),
+                    "t_terminal": round(wall - t_loop, 2),
+                    "t_seen": round(sum(m["t_seen_ms"] for m in res.metrics) / 1000, 2),
+                }
     wall, urls = best
 
-    print(
-        json.dumps(
-            {
-                "cpus": args.cpus,
-                "mode": args.mode,
-                "pages": n_rows,
-                "processed_urls": urls,
-                "wall_sec": round(wall, 3),
-                "urls_per_sec": round(urls / wall, 2),
-            }
-        )
-    )
+    out = {
+        "cpus": args.cpus,
+        "mode": args.mode,
+        "pages": n_rows,
+        "processed_urls": urls,
+        "wall_sec": round(wall, 3),
+        "urls_per_sec": round(urls / wall, 2),
+        "trial_walls": trial_walls,
+    }
+    if best_phases:
+        out["best_trial_phases"] = best_phases
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
