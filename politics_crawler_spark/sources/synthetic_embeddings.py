@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-DEFAULT_N = 50_000
+DEFAULT_N = 100_000
 DEFAULT_DIM = 32
 DEFAULT_CLUSTERS = 20
 DEFAULT_SIGMA = 0.04
