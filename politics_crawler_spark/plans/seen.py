@@ -115,7 +115,7 @@ def probe_and_update(
     list_keys: DataFrame,
     seen: DataFrame,
     n_shards: int,
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """FUSED probe + fold: ONE cogroup pass per round instead of two.
 
     Input: candidate url_hashes (probed against the previous bloom version;
@@ -135,9 +135,9 @@ def probe_and_update(
     round cost (BENCH_SCALING round-2 decomposition: t_seen ≈ 1.9 s of the
     ~3.1 s round floor at 8 cores).
 
-    Returns (combined, survivors_view) where combined must be materialized
-    (localCheckpoint) before use; helper :func:`split_probe_update` does the
-    split.
+    Returns the combined DataFrame, which must be materialized
+    (localCheckpoint) before use; helper :func:`split_probe_update` then
+    splits it into (survivors, new seen table).
     """
     keys = with_shard(
         cand_keys.select("url_hash").withColumn("is_cand", F.lit(True)).unionByName(

@@ -14,7 +14,7 @@ from politics_crawler_spark.sources.synthetic_embeddings import (
     synthesize_embeddings,
 )
 
-N = DEFAULT_N          # 50_000
+N = DEFAULT_N          # 100_000
 N_QUERIES = DEFAULT_QUERIES  # 100
 
 

@@ -212,24 +212,46 @@ def test_metrics_table_from_observations(spark, pages_df):
     res = run_crawl(spark, pages_df, n_shards=8)
     n_out = res.extracted.count()  # terminal action resolves observations
     mt = res.metrics_table(spark, run_id="t1").collect()
-    # defer mode: 3 per-round stage rows + ONE terminal extract row
-    assert len(mt) == 3 * res.rounds + 1
+    # defer mode: 4 stage rows per round — the terminal observation's
+    # per-round metric expressions attribute extraction back to the round
+    # that selected the candidates (VERDICT r3 #5; no round=-1 rows)
+    assert len(mt) == 4 * res.rounds
+    assert all(r.round >= 0 for r in mt)
     by = {}
     for r in mt:
         assert r.run_id == "t1"
         by.setdefault(r.stage, []).append(r)
     # flow conservation per round: list.n_out = select.n_in,
-    # select.n_out = seen.n_in
+    # select.n_out = seen.n_in = extract.n_in
     for rnd in range(res.rounds):
         rowz = {r.stage: r for r in mt if r.round == rnd}
         assert rowz["list"].n_out == rowz["select"].n_in
         assert rowz["select"].n_out == rowz["seen"].n_in
         assert rowz["select"].n_filtered == rowz["select"].n_in - rowz["select"].n_out
         assert rowz["seen"].n_dup == rowz["seen"].n_in - rowz["seen"].n_out
-    # the terminal extract row covers all rounds and reconciles exactly
-    (term,) = by["extract"]
-    assert term.round == -1
-    assert term.n_in == sum(r.n_out for r in by["seen"])
-    assert term.n_out == n_out
+        assert rowz["extract"].n_in == rowz["seen"].n_out
+    # extract rows reconcile exactly with the terminal output
+    assert sum(r.n_in for r in by["extract"]) == sum(r.n_out for r in by["seen"])
+    assert sum(r.n_out for r in by["extract"]) == n_out
+    for c in res.caches:
+        c.unpersist()
+
+
+def test_metrics_table_bogus_key_raises(spark, pages_df):
+    """The empty-round guard must stay NARROW (VERDICT r3 #6): only a
+    missing CollectMetrics node (PropagateEmptyRelation on an empty round)
+    reads as zero; asking a resolved observation for a key it never
+    computed is a genuine bug and must raise, not silently read 0."""
+    import pytest
+
+    res = run_crawl(spark, pages_df, n_shards=8, max_rounds=1)
+    res.extracted.count()
+    # corrupt one terminal entry's round list so metrics_table asks the
+    # (resolved) observation for metric keys that were never registered
+    (rnd, st) = res.stage_obs[-1]
+    assert "ext_rounds" in st
+    st["ext_rounds"] = [9999]
+    with pytest.raises(KeyError):
+        res.metrics_table(spark).collect()
     for c in res.caches:
         c.unpersist()
