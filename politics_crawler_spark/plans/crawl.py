@@ -56,7 +56,7 @@ from ..operators.listparse import parse_list_pages
 from ..schemas import EXTRACTED
 from ..sources.synthetic_pages import list_url
 from . import seen as seen_mod
-from .politeness import host_salt_plan, salted_repartition_by_host
+from .politeness import host_salt_plan, salted_repartition_by_host, with_pace
 
 _CHECK_DETAIL_DATE_SITES = ("ruliweb", "inven")  # F5 boards (+ fmkorea_funny)
 
@@ -262,12 +262,20 @@ def run_crawl(
     robots: DataFrame | None = None,
     fetcher=None,
     defer_extraction: bool | None = None,
+    min_interval_s: float = 0.0,
 ) -> CrawlResult:
     """``fetcher`` (optional): a live-fetch stage from
     ``operators.fetch.make_fetch_stage`` — when given, list and detail pages
     are fetched over HTTP (UA rotation / timeout / retry, P1/P2/P6) instead
     of joined from the ``pages`` snapshot; per-round retry totals land in
     ``metrics`` via Observations (no extra actions).
+
+    ``min_interval_s`` (live mode only): per-host minimum seconds between
+    requests, ENFORCED inside the fetch stage (P3-P5). List fetches
+    repartition by host so one task owns each host's list pages; detail
+    fetches ride the salted repartition with a budget-divided interval
+    (``politeness.with_pace``) so a salt-split mega-host's aggregate rate
+    still honors the per-host budget.
 
     ``defer_extraction`` (default: on, unless checkpointing or live-fetching
     — both need per-round materialization): leave each round's extraction
@@ -514,8 +522,16 @@ def run_crawl(
         else:
             from pyspark.sql import Observation
 
+            list_src = frontier
+            if min_interval_s > 0:
+                # one task per host for list pages (tiny frame — the
+                # repartition is noise) so the in-task pacing map sees
+                # every request to that host
+                list_src = with_pace(
+                    frontier.repartition(F.col("host")), min_interval_s
+                )
             list_obs = Observation()
-            fetched = fetcher(frontier, url_col="url").observe(
+            fetched = fetcher(list_src, url_col="url").observe(
                 list_obs,
                 F.sum("attempts").alias("attempts"),
                 F.count(F.lit(1)).alias("n_fetches"),
@@ -715,6 +731,11 @@ def run_crawl(
                 detail = salted_repartition_by_host(
                     detail, host_col="host", url_col="url", salt_plan=salt_plan
                 )
+                if min_interval_s > 0:
+                    # budget-divide the interval for salted hosts: salt_n
+                    # concurrent tasks × (salt_n × interval) per task ⇒
+                    # the host's aggregate rate stays 1/min_interval_s
+                    detail = with_pace(detail, min_interval_s, salt_plan)
                 from pyspark.sql import Observation
 
                 det_obs = Observation()

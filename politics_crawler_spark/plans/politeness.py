@@ -79,6 +79,31 @@ def salted_repartition_by_host(
     return out.drop("_salt")
 
 
+def with_pace(
+    df: DataFrame,
+    min_interval_s: float,
+    salt_plan: dict[str, int] | None = None,
+    host_col: str = "host",
+) -> DataFrame:
+    """Attach the BUDGET-DIVIDED per-host pacing interval (``_pace_s``)
+    the live fetch stage enforces.
+
+    A mega-host split across ``salt_n`` concurrent tasks would otherwise
+    multiply its request rate by ``salt_n`` — exactly for the hosts that
+    most need politeness (round-3 verdict). Scaling the per-task interval
+    by the host's salt factor keeps the AGGREGATE rate across all salted
+    tasks at the same ``1 / min_interval_s`` budget an unsalted host gets.
+    """
+    if salt_plan:
+        mapping = F.create_map(*[F.lit(x) for kv in salt_plan.items() for x in kv])
+        salt_n = F.coalesce(mapping[F.col(host_col)], F.lit(1))
+    else:
+        salt_n = F.lit(1)
+    return df.withColumn(
+        "_pace_s", (F.lit(float(min_interval_s)) * salt_n).cast("double")
+    )
+
+
 def apply_host_quota(
     df: DataFrame,
     quota: int,

@@ -145,9 +145,37 @@ def upsert_partitioned(
     rewrites only matched files).
 
     Returns the list of touched partition values.
+
+    LOCAL-FILESYSTEM ONLY: the two-rename swap relies on POSIX directory
+    renames, so object stores / HDFS URIs are rejected up front — on those
+    deployments use an Iceberg table and :func:`merge_sql` (MERGE INTO has
+    real snapshot atomicity; this sink is the no-catalog fallback).
     """
     import os
     import shutil
+
+    if "://" in target_path and not target_path.startswith("file:"):
+        raise ValueError(
+            f"upsert_partitioned swaps directories with os.rename and only "
+            f"works on a local filesystem; got {target_path!r} — use an "
+            f"Iceberg table with merge_sql() for non-local stores"
+        )
+    target_path = target_path.removeprefix("file://")
+
+    # Recover any .bak left by a crash in a previous run's swap window:
+    # dst present  → the swap completed, the .bak is a stale safety copy
+    #                (and would ENOTEMPTY-brick the next rename) — drop it;
+    # dst missing  → crashed BETWEEN the two renames — the .bak IS the
+    #                live data: restore it.
+    for d in os.listdir(target_path) if os.path.isdir(target_path) else []:
+        if not d.endswith(".bak"):
+            continue
+        bak = os.path.join(target_path, d)
+        dst = bak[: -len(".bak")]
+        if os.path.isdir(dst):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, dst)
 
     b = normalize_batch(batch) if "images" in batch.columns else batch
     # O(#communities) collect — the partition *values*, never row data
@@ -165,12 +193,17 @@ def upsert_partitioned(
     staging = target_path.rstrip("/") + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-    for part in parts:
-        sub = f"{partition_col}={part}"
+    # Swap the partition dirs SPARK WROTE (directory listing), not
+    # f-string-formatted values: Spark escapes special characters in
+    # partition paths and writes NULL as __HIVE_DEFAULT_PARTITION__, so a
+    # formatted name can miss the real directory (ADVICE r3).
+    for sub in sorted(os.listdir(staging)):
+        if not sub.startswith(f"{partition_col}="):
+            continue  # _SUCCESS & friends
         src, dst = os.path.join(staging, sub), os.path.join(target_path, sub)
         bak = dst + ".bak"
         if not os.path.isdir(src):
-            continue  # batch rows for this value were all dropped by K4
+            continue
         if os.path.isdir(dst):
             os.rename(dst, bak)
         os.rename(src, dst)

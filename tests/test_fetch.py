@@ -182,3 +182,123 @@ def test_crawl_over_live_http_matches_snapshot_join(spark, pages_pdf, pages_df):
         assert total_att > total_fetch  # at least one retry happened
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# P3-P5: per-host pacing is ENFORCED in the fetch stage (round-4 item)
+# ---------------------------------------------------------------------------
+
+def _recording_transport(log_path):
+    """Appends '<host> <monotonic>' per request — O_APPEND short writes are
+    atomic, and local-mode Python workers share the filesystem."""
+
+    def transport(url, ua, timeout_s):
+        import time as _t
+        from urllib.parse import urlsplit
+
+        with open(log_path, "a") as f:
+            f.write(f"{urlsplit(url).netloc} {_t.monotonic():.6f}\n")
+        return 200, b"<html>plenty long ok body</html>"
+
+    return transport
+
+
+def _times_by_host(log_path):
+    by = {}
+    with open(log_path) as f:
+        for line in f:
+            h, t = line.split()
+            by.setdefault(h, []).append(float(t))
+    return {h: sorted(ts) for h, ts in by.items()}
+
+
+def test_per_host_pacing_unsalted(spark, tmp_path):
+    """Consecutive requests to one host are spaced >= min_interval_s even
+    when several hosts share a task; distinct hosts don't inherit each
+    other's pacing state (both hosts complete in one batch)."""
+    import time as _time
+
+    log = str(tmp_path / "req.log")
+    rows = [(f"https://{h}/p{i}", h) for h in ("a.com", "b.com") for i in range(5)]
+    df = spark.createDataFrame(rows, "url string, host string").coalesce(1)
+    fetch = make_fetch_stage(
+        transport=_recording_transport(log), max_attempts=1,
+        sleep=_time.sleep, min_interval_s=0.05,
+    )
+    out = fetch(df).collect()
+    assert len(out) == 10 and all(r.fetch_status == "ok" for r in out)
+    times = _times_by_host(log)
+    eps = 0.01
+    for h in ("a.com", "b.com"):
+        diffs = [b - a for a, b in zip(times[h], times[h][1:])]
+        assert len(diffs) == 4
+        assert all(d >= 0.05 - eps for d in diffs), (h, diffs)
+
+
+def test_per_host_pacing_salted_budget_division(spark, tmp_path):
+    """A salt-split mega-host's AGGREGATE request rate honors the same
+    per-host budget: salt_n concurrent tasks each pace at salt_n ×
+    min_interval_s (politeness.with_pace), so among any salt_n+1
+    consecutive requests (merged across tasks) two share a task and are
+    >= salt_n × interval apart — the merged stream can never exceed
+    1/min_interval_s for long."""
+    import time as _time
+
+    from politics_crawler_spark.plans.politeness import (
+        salted_repartition_by_host,
+        with_pace,
+    )
+
+    log = str(tmp_path / "req.log")
+    salt_n, interval = 3, 0.05
+    plan = {"m.com": salt_n}
+    df = spark.createDataFrame(
+        [(f"https://m.com/p{i}", "m.com") for i in range(12)],
+        "url string, host string",
+    )
+    paced = with_pace(
+        salted_repartition_by_host(df, salt_plan=plan), interval, plan
+    )
+    assert "_pace_s" in paced.columns
+    fetch = make_fetch_stage(
+        transport=_recording_transport(log), max_attempts=1, sleep=_time.sleep,
+    )
+    out = fetch(paced).collect()
+    assert len(out) == 12
+    assert "_pace_s" not in out[0].asDict()  # stage consumes the pace column
+    ts = _times_by_host(log)["m.com"]
+    eps = 0.01
+    # pigeonhole over the merged stream: any salt_n+1 consecutive requests
+    # include two from the same task, spaced >= salt_n * interval
+    for i in range(len(ts) - salt_n):
+        assert ts[i + salt_n] - ts[i] >= salt_n * interval - eps, (
+            i, ts[i + salt_n] - ts[i]
+        )
+
+
+def test_run_crawl_live_pacing_wiring(spark, pages_pdf, pages_df):
+    """min_interval_s wired through run_crawl (list repartition-by-host +
+    with_pace, detail budget-divided pace after salting) must leave the
+    extracted output IDENTICAL to the unpaced snapshot crawl — the pace
+    column and host repartitions are pure scheduling, never semantics."""
+    import time as _time
+
+    from politics_crawler_spark.plans.crawl import run_crawl
+
+    pages = dict(zip(pages_pdf["url"], pages_pdf["html"]))
+
+    def transport(url, ua, timeout_s):
+        body = pages.get(url)
+        return (200, body) if body is not None else (404, b"")
+
+    fetch = make_fetch_stage(
+        transport=transport, max_attempts=2, min_bytes=50,
+        sleep=_time.sleep, min_interval_s=0.002,
+    )
+    live = run_crawl(
+        spark, None, n_shards=8, fetcher=fetch, min_interval_s=0.002
+    )
+    base = run_crawl(spark, pages_df, n_shards=8)
+    a = {(r.url, r.content) for r in live.extracted.collect()}
+    b = {(r.url, r.content) for r in base.extracted.collect()}
+    assert a == b and len(a) > 0

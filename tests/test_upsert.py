@@ -182,3 +182,52 @@ def test_upsert_partitioned_staging_swap_crash_safety(spark, tmp_path):
     assert not list(pathlib.Path(tgt).glob("*.bak"))
     rows = {r.post_id: r for r in spark.read.parquet(tgt).collect()}
     assert rows["p1"].views == 999 and rows["p1"].content == "new"
+
+
+def test_upsert_partitioned_bak_recovery_and_uri_guard(spark, tmp_path):
+    """ADVICE r3: (a) a leftover .bak with its live partition present is
+    dropped at entry (it would ENOTEMPTY-brick the swap); (b) a .bak whose
+    live partition is MISSING — crash between the two swap renames — is
+    restored as the live data before merging; (c) non-local URIs are
+    rejected up front, pointing at the Iceberg MERGE path."""
+    import pathlib
+
+    import pytest
+
+    from politics_crawler_spark.sinks.upsert import upsert_partitioned
+
+    tgt = str(tmp_path / "extracted")
+    normalize_batch(
+        spark.createDataFrame(
+            [
+                _row("u1", "1p", "p1", "t1", "w1", 100, "old", D1),
+                _row("u5", "11p", "p5", "t5", "w5", 70, "keep", D1),
+            ],
+            EXT_SCHEMA,
+        )
+    ).write.partitionBy("community").parquet(tgt)
+
+    root = pathlib.Path(tgt)
+    # (a) stale .bak NEXT TO a live partition — prior run crashed after
+    # its swap completed but before cleanup
+    stale = root / "community=11p.bak"
+    stale.mkdir()
+    (stale / "junk.parquet").write_bytes(b"junk")
+    # (b) crash BETWEEN renames: live dir moved to .bak, replacement never
+    # landed — simulate on 1p, whose live data must come back
+    (root / "community=1p").rename(root / "community=1p.bak")
+
+    batch = spark.createDataFrame(
+        [_row("u1b", "1p", "p1", "t1", "w1", 999, "new", D2)], EXT_SCHEMA
+    )
+    touched = upsert_partitioned(spark, tgt, batch)
+    assert touched == ["1p"]
+    assert not list(root.glob("*.bak"))
+    rows = {r.post_id: r for r in spark.read.parquet(tgt).collect()}
+    # 1p was recovered from .bak then merged with the batch; 11p untouched
+    assert rows["p1"].views == 999 and rows["p1"].content == "new"
+    assert rows["p5"].content == "keep"
+
+    # (c) object-store URI → loud refusal naming the Iceberg path
+    with pytest.raises(ValueError, match="merge_sql"):
+        upsert_partitioned(spark, "s3://bucket/extracted", batch)
