@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--n-shards", type=int, default=64)
     ap.add_argument("--pages-per-round", type=int, default=16)
     ap.add_argument("--max-seconds", type=float, default=None)
+    ap.add_argument("--ticks", default=None,
+                    help="tick-file dir: run as a streaming cadence "
+                         "(one crawl per tick file, Trigger.AvailableNow, "
+                         "cross-run seen continuity under <out>)")
     args = ap.parse_args(argv)
 
     from .config import RUN_DATE
@@ -47,6 +51,29 @@ def main(argv=None):
         boards = crawl_boards(replicas)
     else:
         pages = spark.read.parquet(args.pages)
+
+    if args.ticks:
+        # P11 engine-native: Structured Streaming drains the pending tick
+        # files (one crawl per tick, exactly-once across restarts) and
+        # chains the seen table across runs — see streaming/cadence.py
+        from .streaming.cadence import crawl_cadence
+
+        q = crawl_cadence(
+            spark, args.ticks,
+            checkpoint_dir=args.out + "_cadence_ck",
+            state_dir=args.out,
+            pages=pages,
+            run_date=args.run_date or RUN_DATE,
+            boards=boards,
+            n_shards=args.n_shards,
+            pages_per_round=args.pages_per_round,
+        )
+        q.awaitTermination()
+        import json as _json
+
+        with open(args.out + "/state.json") as f:
+            print(_json.dumps(_json.load(f)))
+        return
 
     res = run_crawl(
         spark,

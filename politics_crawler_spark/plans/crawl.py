@@ -263,6 +263,7 @@ def run_crawl(
     fetcher=None,
     defer_extraction: bool | None = None,
     min_interval_s: float = 0.0,
+    initial_seen: DataFrame | None = None,
 ) -> CrawlResult:
     """``fetcher`` (optional): a live-fetch stage from
     ``operators.fetch.make_fetch_stage`` — when given, list and detail pages
@@ -295,7 +296,12 @@ def run_crawl(
     by_name = {b.board: b for b in boards}
     state = {b.board: BoardState() for b in boards}
     metrics: list[dict] = []
-    seen = seen_mod.empty_seen(spark, n_shards).localCheckpoint(eager=True)
+    # cross-RUN seen continuity (D3/P11): a scheduled cadence hands the
+    # previous run's bloom table in; sharding must match n_shards
+    seen = (
+        initial_seen if initial_seen is not None
+        else seen_mod.empty_seen(spark, n_shards)
+    ).localCheckpoint(eager=True)
     extracted_parts: list[DataFrame] = []
     start_round = 0
 

@@ -97,3 +97,52 @@ def test_stream_hourly_rollup_batch_parity(spark):
            for r in stream_hourly_rollup(df).collect()}
     assert out[(dt.datetime(2024, 1, 1, 10, 0), "click")] == (2, 3.0)
     assert out[(dt.datetime(2024, 1, 1, 11, 0), "view")] == (1, 3.0)
+
+
+# ---------------------------------------------------------------------------
+# P11 engine-native: streaming-driven crawl cadence (round-4 item)
+# ---------------------------------------------------------------------------
+
+def test_crawl_cadence_two_ticks_cross_run_seen(spark, pages_df, tmp_path):
+    """Two tick files -> two micro-batches -> two full crawl runs. Run 0
+    extracts the snapshot's fresh posts; run 1 (same snapshot, same date)
+    must extract ZERO rows because the previous run's bloom table carries
+    over (D3 cross-run continuity). A restarted stream with no new ticks
+    runs nothing (stream checkpoint = exactly-once ticks); a third tick
+    after restart fires exactly one more (still-empty) run."""
+    import pathlib
+
+    from politics_crawler_spark.streaming.cadence import crawl_cadence
+
+    tick = tmp_path / "ticks"
+    ck = str(tmp_path / "ck")
+    state = str(tmp_path / "state")
+    tick.mkdir()
+    (tick / "t0.txt").write_text("")
+    (tick / "t1.txt").write_text("")
+
+    q = crawl_cadence(spark, str(tick), ck, state, pages=pages_df, n_shards=8)
+    assert q.awaitTermination(300)
+
+    runs = sorted(pathlib.Path(state, "extracted").glob("run=*"))
+    assert [p.name for p in runs] == ["run=0", "run=1"]
+    n0 = spark.read.parquet(str(runs[0])).count()
+    n1 = spark.read.parquet(str(runs[1])).count()
+    assert n0 > 0 and n1 == 0
+    import json
+
+    st = json.loads(pathlib.Path(state, "state.json").read_text())
+    assert st["last_run"] == 1
+    assert pathlib.Path(state, "seen/v1").is_dir()
+
+    # restart with no new ticks: nothing re-runs
+    q2 = crawl_cadence(spark, str(tick), ck, state, pages=pages_df, n_shards=8)
+    assert q2.awaitTermination(120)
+    assert sorted(p.name for p in pathlib.Path(state, "extracted").glob("run=*")) \
+        == ["run=0", "run=1"]
+
+    # a new tick fires exactly one more run, still fully deduped
+    (tick / "t2.txt").write_text("")
+    q3 = crawl_cadence(spark, str(tick), ck, state, pages=pages_df, n_shards=8)
+    assert q3.awaitTermination(300)
+    assert spark.read.parquet(str(pathlib.Path(state, "extracted/run=2"))).count() == 0
