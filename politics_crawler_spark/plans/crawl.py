@@ -378,10 +378,18 @@ def run_crawl(
         # every parse task an equal slice. One bounded shuffle, paid once
         # per run.
         t_pool0 = time.time()
+        # Hash semi-join: broadcast 64-bit xxhash64 keys, not the url
+        # strings — a LongHashedRelation builds and probes several× faster
+        # than a string-keyed one at ~10^5 list urls. Over-inclusion from a
+        # hash collision is harmless: every downstream consumer joins the
+        # pool against the frontier ON THE URL STRING (exact).
+        pool_keys = spark.createDataFrame(all_list_urls, "url string").select(
+            F.xxhash64("url").alias("_lh")
+        )
         lists_pool = (
             pages_slim.join(
-                F.broadcast(spark.createDataFrame(all_list_urls, "url string")),
-                on="url",
+                F.broadcast(pool_keys),
+                on=F.xxhash64(F.col("url")) == F.col("_lh"),
                 how="left_semi",
             )
             .repartition(spark.sparkContext.defaultParallelism * 4, "url")
@@ -400,10 +408,14 @@ def run_crawl(
     def _extract_at_scan(detail: DataFrame) -> DataFrame:
         """Snapshot-mode detail "fetch" + parse with ZERO html movement:
 
-        1. semi-join the snapshot against a NARROW url-only broadcast
-           (bounded by P8 budgets; single strings, so the driver-side
-           hash-relation build stays tiny) — the full snapshot streams and
-           only matched pages survive;
+        1. semi-join the snapshot against a NARROW broadcast of the
+           candidates' 64-bit url hashes (bounded by P8 budgets; a
+           LongHashedRelation builds and probes several× faster than the
+           former string-url relation — the driver-side build was a
+           parallelism-independent chunk of the terminal wall) — the full
+           snapshot streams and only matched pages survive. A hash
+           collision admits a stray page; step 3's inner join on the url
+           STRING drops it, so results are exact;
         2. the parse UDF runs ON the scan output (site re-derived from the
            url host, exactly the dispatch rule of ``site_expr``) — html is
            consumed where it is read and never enters an exchange;
@@ -413,7 +425,9 @@ def run_crawl(
         from ..operators.extract import site_expr
 
         matched = pages_slim.select("url", "html").join(
-            F.broadcast(detail.select("url")), on="url", how="left_semi"
+            F.broadcast(detail.select("url_hash")),
+            on=F.xxhash64(F.col("url")) == F.col("url_hash"),
+            how="left_semi",
         )
         ext = with_extraction(
             matched.withColumn(
@@ -563,7 +577,6 @@ def run_crawl(
             .withColumn("views", parse_views(F.col("views_txt")))
             .withColumn("list_recommend", parse_recommend(F.col("rec_txt")))
             .withColumn("today", is_today(F.col("date"), run_date))
-            .observe(st_obs["cand"], F.count(F.lit(1)).alias("n"))
             # F4 today-only BEFORE the persist: every downstream consumer —
             # the staleness counts (non-today rows contribute 0; the page
             # spine fills absent pages), the F3/F4 select, the detail
@@ -571,6 +584,15 @@ def run_crawl(
             # larger unfiltered candidate set was pure memory traffic
             .filter(F.col("today"))
         ).persist()
+        cand_cache = cand  # persist handle (observe() wraps the plan)
+        # The cand observation sits ABOVE the persist: the staleness job
+        # and the seen job run CONCURRENTLY over this cache (below), and
+        # an observation inside the cached subtree would fire only on the
+        # cache-populating partitions of whichever job got there first —
+        # partial counts. Above the cache every consuming job scans all
+        # rows; the first completed query resolves the observation with
+        # the full count. (Metric semantics: today-filtered candidates.)
+        cand = cand.observe(st_obs["cand"], F.count(F.lit(1)).alias("n"))
 
         # P9 staleness, computed DISTRIBUTED: the sequential per-board
         # replay is a running-window over (board, page_no) — consecutive
@@ -673,6 +695,26 @@ def run_crawl(
         # max_attempts stays out of the bloom, so later rounds / resumed
         # runs can retry it — add-at-select would make a transient network
         # failure permanent data loss. List URLs keep add-at-select.
+        # P9 staleness state, collected CONCURRENTLY with the seen job:
+        # both consume the persisted cand, and BlockManager's per-partition
+        # cache locks make each partition compute exactly once (the second
+        # job blocks on the lock, then reads the cached block) — so the
+        # staleness windows + O(boards) collect hide behind the heavier
+        # probe/fold job instead of serializing after it (the post-seen
+        # collect was measured parallelism-independent driver residue).
+        import threading as _threading
+
+        stale_box: dict = {}
+
+        def _collect_stale():
+            try:
+                stale_box["rows"] = board_state.collect()
+            except BaseException as e:  # surfaced after join() below
+                stale_box["err"] = e
+
+        stale_th = _threading.Thread(target=_collect_stale, daemon=True)
+        stale_th.start()
+
         frontier_keys = frontier.select(url_hash(F.col("url")).alias("url_hash"))
         t_pre_seen = time.time() - round_t0
         if use_bloom and fetcher is None:
@@ -694,10 +736,14 @@ def run_crawl(
         unseen = unseen.observe(st_obs["unseen"], F.count(F.lit(1)).alias("n"))
         t_seen = time.time() - round_t0 - t_pre_seen
 
-        # P9 driver-state update reads the CACHED cand (the seen job above
-        # already materialized it), so this second action is near-free.
+        # P9 driver-state update from the overlapped collect (one row per
+        # board); by now the seen job has usually outlasted it, so the
+        # join is a no-wait.
+        stale_th.join()
+        if "err" in stale_box:
+            raise stale_box["err"]
         n_today_by_board: dict[str, int] = {}
-        for r in board_state.collect():  # one row per board
+        for r in stale_box["rows"]:  # one row per board
             st = state[r["board"]]
             st.page_no = int(r["last_ok"]) + 1
             st.stale = int(r["new_stale"])
@@ -705,7 +751,7 @@ def run_crawl(
                 st.active = False
             n_today_by_board[r["board"]] = int(r["n_today_blk"] or 0)
         t_stale = time.time() - round_t0 - t_pre_seen - t_seen  # cached collect
-        round_caches.append(cand)  # unpersisted once this round's extraction
+        round_caches.append(cand_cache)  # unpersisted once this round's extraction
         # has materialized (non-defer) or left to cache eviction (defer:
         # the terminal job re-reads `cand` — candidate volume is bounded
         # by P8 page budgets, a sliver of the snapshot)
