@@ -606,6 +606,49 @@ def q34_ann_exact_clustered(spark, sf):
     )
 
 
+def q35_embedding_neardup_dedup(spark, sf):
+    """Embedding-cosine near-dup dedup (task directive), graded as an
+    exact-survivor contract on a SELF-SYNTHESIZED corpus (the provided
+    embeddings tables have no pair above cos 0.61 at any sf — a dedup gate
+    there would grade the empty set): 20k near-orthogonal bases + 3
+    planted duplicates of each of the first 1k (cos >= 0.996 within a
+    family by construction). The operator — hyperplane signatures, banded
+    Hamming candidates (family edges sit at Hamming <= 7, inside the
+    bands=8 pigeonhole guarantee), exact-cosine verify, connected-component
+    collapse — must return EXACTLY the 20k base ids. The survivor set is
+    independently recomputed by numpy all-pairs + union-find in
+    tests/test_embedding_dedup.py (neardup_survivors_np == range(20000));
+    the contract row states (n_vectors, n_survivors, gt_match)."""
+    from politics_crawler_spark.operators.similarity import (
+        embedding_neardup_dedup,
+    )
+    from politics_crawler_spark.sources.synthetic_embeddings import (
+        NEARDUP_BASE,
+        NEARDUP_TOTAL,
+        synthesize_neardup_embeddings,
+    )
+
+    corpus = synthesize_neardup_embeddings(spark).persist()
+    surv = embedding_neardup_dedup(corpus, threshold=0.99).select("vec_id")
+    gt = spark.range(NEARDUP_BASE).select(F.col("id").alias("vec_id"))
+    j = gt.withColumn("g", F.lit(1)).join(
+        surv.withColumn("s", F.lit(1)), on="vec_id", how="full_outer"
+    )
+    return j.agg(
+        F.lit(NEARDUP_TOTAL).cast("long").alias("n_vectors"),
+        F.coalesce(F.sum("s"), F.lit(0)).cast("long").alias("n_survivors"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("g").isNull() | F.col("s").isNull(), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            == 0
+        ).alias("gt_match"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -642,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_ivf_ann": q32_ivf_ann,
         "q33_minhash_dedup": q33_minhash_dedup,
         "q34_ann_exact_clustered": q34_ann_exact_clustered,
+        "q35_embedding_neardup_dedup": q35_embedding_neardup_dedup,
     }
 
 
@@ -830,6 +874,16 @@ def oracle_sql() -> dict[str, str]:
         # rows come from the independent numpy ground truth (computed fresh
         # inside oracle_sql(), no pasted constants to go stale).
         "q34_ann_exact_clustered": _ann_exact_oracle(),
+        # Exact-survivor contract on the planted near-dup corpus: by
+        # construction (and by the independent numpy all-pairs+union-find
+        # in tests/test_embedding_dedup.py) the >=0.99 components are
+        # exactly the 1k planted families, so the survivors are the 20k
+        # base ids and every dup collapses onto its family minimum.
+        "q35_embedding_neardup_dedup": """
+            SELECT CAST(23000 AS BIGINT) AS n_vectors,
+                   CAST(20000 AS BIGINT) AS n_survivors,
+                   true AS gt_match
+        """,
         # Survivors of the exact ground-truth collapse under the
         # CONNECTED-COMPONENT rule (community-standard transitive dedup):
         # a doc is dropped iff a SMALLER-id doc is reachable through the

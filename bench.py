@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "q32_ivf_ann",
     "q33_minhash_dedup",
     "q34_ann_exact_clustered",  # brute-force baseline q17/q32 must beat
+    "q35_embedding_neardup_dedup",
 ]
 
 
@@ -103,6 +104,13 @@ def main():
                     sum(m["list_pages"] for m in res.metrics))
         for c in res.caches:  # drop per-run caches; pages stays persisted
             c.unpersist()
+        # churn hygiene between trials: free checkpoint blocks/broadcasts
+        # (ContextCleaner acts only after GC notices the dead refs)
+        import gc as _gc
+
+        del res
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
     crawl_sec, n_extracted, n_rounds, n_lists = best
     times["crawl"] = crawl_sec
     urls_per_sec = round((n_extracted + n_lists) / crawl_sec, 2)

@@ -380,31 +380,32 @@ def make_simhash_udf(shingle_k: int = 5):
     return simhash_udf
 
 
-def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3, bands: int = 4) -> DataFrame:
-    """Near-dup pairs by simhash: band the 64 bits into ``bands`` keys of
+def hamming_band_pairs(sigs: DataFrame, sig_col: str = "sim",
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       bands: int = 4) -> DataFrame:
+    """Candidate pairs within ``max_hamming`` of a 64-bit signature column
+    by pigeonhole banding: split the 64 bits into ``bands`` keys of
     ``64//bands`` bits — any pair within Hamming distance ``bands - 1``
-    shares at least one exact band (pigeonhole), so set
-    ``max_hamming <= bands - 1`` for a recall guarantee. More bands = wider
-    guaranteed radius but coarser buckets (more candidates to verify)."""
+    shares at least one exact band, so ``max_hamming <= bands - 1`` gives a
+    recall GUARANTEE. More bands = wider guaranteed radius but coarser
+    buckets (more candidates to verify). Shared by simhash (text) and
+    hyperplane-signature (embedding) near-dup; the banded exchange carries
+    (id, 8-byte sig, band, key) only."""
     assert 64 % bands == 0
     width = 64 // bands
     mask = (1 << width) - 1
-    udf = make_simhash_udf()
-    src = _parallelize_input(df.select(id_col, text_col), id_col)
-    sigs = src.select(id_col, udf(F.col(text_col)).alias("sim"))
     banded = sigs.select(
-        id_col, "sim",
+        id_col, sig_col,
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("sim"), i * width).bitwiseAND(F.lit(mask)).alias("key"),
+                F.shiftrightunsigned(F.col(sig_col), i * width).bitwiseAND(F.lit(mask)).alias("key"),
             )
             for i in range(bands)
         ])).alias("bb"),
-    ).select(id_col, "sim", "bb.band", "bb.key")
+    ).select(id_col, sig_col, "bb.band", "bb.key")
     l, r = banded.alias("l"), banded.alias("r")
-    pairs = (
+    return (
         l.join(r, on=[
             F.col("l.band") == F.col("r.band"),
             F.col("l.key") == F.col("r.key"),
@@ -413,12 +414,22 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim"))).alias("hamming"),
+            F.bit_count(
+                F.col(f"l.{sig_col}").bitwiseXOR(F.col(f"r.{sig_col}"))
+            ).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup pairs by simhash 64-bit banding (see hamming_band_pairs)."""
+    udf = make_simhash_udf()
+    src = _parallelize_input(df.select(id_col, text_col), id_col)
+    sigs = src.select(id_col, udf(F.col(text_col)).alias("sim"))
+    return hamming_band_pairs(sigs, "sim", id_col, max_hamming, bands)
 
 
 # --------------------------------------------------------------------------

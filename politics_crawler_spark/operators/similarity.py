@@ -312,3 +312,93 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup dedup (task directive "embedding-cosine
+# near-dup"): hyperplane signature → pigeonhole Hamming banding → exact
+# cosine verify → transitive collapse.
+# --------------------------------------------------------------------------
+
+def make_hyperplane_sig_udf(seed: int = 424242):
+    """64-bit hyperplane signature: bit j = sign(v · plane_j). Planes are a
+    pure function of (seed, dim) — any worker regenerates them identically;
+    signs are scale-invariant, so vectors need no prior normalization. One
+    vectorized numpy pass per Arrow batch."""
+    state = {}
+
+    @pandas_udf(T.LongType())
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        X = np.array(list(vecs), dtype=np.float64)
+        P = state.get(X.shape[1])
+        if P is None:
+            P = np.random.default_rng(seed).standard_normal((64, X.shape[1]))
+            state[X.shape[1]] = P
+        bits = (X @ P.T) > 0
+        packed = (
+            bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
+        ).sum(axis=1)
+        return pd.Series(packed.view(np.int64))
+
+    return sig_udf
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    bands: int = 8,
+    max_hamming: int | None = None,
+    seed: int = 424242,
+) -> DataFrame:
+    """``(id_a, id_b, cos)`` pairs with exact cosine >= threshold, found at
+    scale: 64-bit hyperplane signatures band into ``bands`` buckets
+    (pigeonhole: any pair within Hamming ``bands - 1`` is guaranteed a
+    candidate — at threshold 0.99 the expected signature Hamming is ~1-2
+    bits, far inside the radius), candidates get the EXACT cosine
+    (zip_with/aggregate, JVM codegen) and the sketch never decides a drop.
+    The only joins are bucketed equi-joins; vectors join back once per
+    side onto the (small) candidate set."""
+    from .dedup import hamming_band_pairs
+
+    max_hamming = bands - 1 if max_hamming is None else max_hamming
+    sig_udf = make_hyperplane_sig_udf(seed)
+    sigs = df.select(id_col, sig_udf(F.col(vec_col)).alias("sim"))
+    cand = hamming_band_pairs(sigs, "sim", id_col, max_hamming, bands)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    j = cand.select("id_a", "id_b").join(a, on="id_a").join(b, on="id_b")
+    cos = _cosine(F.col("_va"), F.col("_vb"))
+    return (
+        j.select("id_a", "id_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)  # unrounded, oracle-exact
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cos"))
+    )
+
+
+def embedding_neardup_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    bands: int = 8,
+    seed: int = 424242,
+) -> DataFrame:
+    """Drop every vector whose embedding is a near-duplicate of a
+    lower-id vector, transitively: representative = min id of each
+    connected component of the >=-threshold pair graph (same collapse
+    semantics as minhash_dedup). ``df`` is consumed several times
+    (signature pass + two vector joins + final anti-join) — callers
+    should persist it."""
+    from .dedup import connected_min_reps
+
+    pairs = embedding_neardup_pairs(df, vec_col, id_col, threshold, bands,
+                                    seed=seed)
+    reps = connected_min_reps(pairs)
+    dropped = reps.filter(F.col("rep") < F.col("node")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dropped, on=id_col, how="left_anti")

@@ -569,20 +569,30 @@ def run_crawl(
         st_obs = {"cand": _Obs(), "sel": _Obs(), "unseen": _Obs(), "ext": _Obs()}
 
         cand_raw = parse_list_pages(lists)
+        # ONE select + one filter, not a withColumn chain: Spark re-runs
+        # the analyzer on every intermediate Dataset, so an 8-step chain
+        # pays 8 passes over a growing plan — measurable per-round driver
+        # time that no executor count can hide. (Semantics unchanged: the
+        # normalizations commute; codegen CSE shares the repeated date
+        # subtree.)
+        _date = parse_list_date(F.col("date_txt"), F.col("date_attr"), run_date)
         cand = (
             cand_raw.filter(~F.col("is_notice"))  # F2
-            .withColumn("link", canonical_url(F.col("url"), F.col("href")))
-            .filter(is_valid_post_url(F.col("link")))  # F1
-            .withColumn("date", parse_list_date(F.col("date_txt"), F.col("date_attr"), run_date))
-            .withColumn("views", parse_views(F.col("views_txt")))
-            .withColumn("list_recommend", parse_recommend(F.col("rec_txt")))
-            .withColumn("today", is_today(F.col("date"), run_date))
-            # F4 today-only BEFORE the persist: every downstream consumer —
-            # the staleness counts (non-today rows contribute 0; the page
-            # spine fills absent pages), the F3/F4 select, the detail
-            # candidates — reads today rows only, so caching the ~8×
-            # larger unfiltered candidate set was pure memory traffic
-            .filter(F.col("today"))
+            .select(
+                "*",
+                canonical_url(F.col("url"), F.col("href")).alias("link"),
+                _date.alias("date"),
+                parse_views(F.col("views_txt")).alias("views"),
+                parse_recommend(F.col("rec_txt")).alias("list_recommend"),
+                is_today(_date, run_date).alias("today"),
+            )
+            # F1 validity + F4 today-only BEFORE the persist: every
+            # downstream consumer — the staleness counts (non-today rows
+            # contribute 0; the page spine fills absent pages), the F3/F4
+            # select, the detail candidates — reads today rows only, so
+            # caching the ~8× larger unfiltered candidate set was pure
+            # memory traffic
+            .filter(is_valid_post_url(F.col("link")) & F.col("today"))
         ).persist()
         cand_cache = cand  # persist handle (observe() wraps the plan)
         # The cand observation sits ABOVE the persist: the staleness job
@@ -878,6 +888,12 @@ def run_crawl(
         all_detail = detail_parts[0][1]
         for _, p in detail_parts[1:]:
             all_detail = all_detail.unionByName(p)
+        # The terminal consumes the banked union TWICE — the candidate-hash
+        # broadcast subquery and the final ext⋈detail join — and each pass
+        # would re-run every round's seen semi-join + the in-round
+        # dropDuplicates SHUFFLE. Materialize the slim candidate set once
+        # (~100 B/row); both consumers then read the checkpoint.
+        all_detail = all_detail.localCheckpoint(eager=True)
         from pyspark.sql import Observation as _Obs2
 
         term_obs = _Obs2()

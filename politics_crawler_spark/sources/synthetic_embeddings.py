@@ -117,6 +117,107 @@ def exact_topk_np(
     return rows
 
 
+# --------------------------------------------------------------------------
+# Near-dup corpus: planted duplicate FAMILIES for the embedding-cosine
+# dedup gate (task directive "embedding-cosine near-dup"). The provided
+# embeddings tables have no pairs above cos 0.61 at any sf — a dedup gate
+# there would grade the empty set — so, like the q17/q32 ANN corpora, the
+# gate self-synthesizes: NEARDUP_BASE near-orthogonal base vectors
+# (ids 0..B-1), plus NEARDUP_DUPS planted duplicates of each of the first
+# NEARDUP_FAMS bases (dup id d >= B belongs to family (d-B) % FAMS and is
+# normalize(base + EPS*noise)). Every family pair sits at cos >= ~0.997;
+# the closest cross-family pair is far below the 0.99 threshold, so the
+# exact component structure — and the survivor set {0..B-1} — is known by
+# construction AND recomputed independently in numpy (neardup_survivors_np).
+# --------------------------------------------------------------------------
+
+NEARDUP_BASE = 20_000
+NEARDUP_FAMS = 1_000
+NEARDUP_DUPS = 3  # per family
+NEARDUP_EPS = 0.05
+NEARDUP_SEED = 777
+NEARDUP_TOTAL = NEARDUP_BASE + NEARDUP_FAMS * NEARDUP_DUPS
+
+
+def neardup_rows(ids: np.ndarray, dim: int = DEFAULT_DIM,
+                 seed: int = NEARDUP_SEED) -> np.ndarray:
+    """float32 block for the near-dup corpus; pure function of (seed, id)
+    — numpy and mapInPandas produce bit-identical rows (same contract as
+    emb_rows)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    base_ids = np.where(ids < NEARDUP_BASE, ids, (ids - NEARDUP_BASE) % NEARDUP_FAMS)
+    base = _counter_normals(base_ids, dim, seed)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    out = base
+    dup = ids >= NEARDUP_BASE
+    if dup.any():
+        pert = _counter_normals(ids[dup], dim, seed + 1)
+        pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+        v = base[dup] + NEARDUP_EPS * pert
+        out[dup] = v / np.linalg.norm(v, axis=1, keepdims=True)
+    return out.astype(np.float32)
+
+
+def neardup_embeddings_np(n: int = NEARDUP_TOTAL, **kw) -> np.ndarray:
+    return neardup_rows(np.arange(n), **kw)
+
+
+def neardup_survivors_np(threshold: float = 0.99, n: int = NEARDUP_TOTAL,
+                         block: int = 4096, **kw) -> list[int]:
+    """INDEPENDENT ground truth for the dedup gate: exact all-pairs cosine
+    (blocked numpy matmul), union-find over >=-threshold edges, min-id
+    survivor per component — never touches the Spark operators."""
+    m = neardup_embeddings_np(n, **kw).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for lo in range(0, n, block):
+        s = m[lo : lo + block] @ m.T  # (block, n)
+        ii, jj = np.nonzero(s >= threshold)
+        for bi, j in zip(ii, jj):
+            i = lo + int(bi)
+            j = int(j)
+            if i >= j:
+                continue
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    roots = {find(i) for i in range(n)}
+    return sorted(roots)
+
+
+def synthesize_neardup_embeddings(spark, n: int = NEARDUP_TOTAL,
+                                  partitions: int | None = None, **kw):
+    """Distributed near-dup corpus: spark.range → mapInPandas, schema
+    (vec_id long, embedding array<float>) — zero driver data."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = neardup_rows(ids, **kw)
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}
+            )
+
+    return spark.range(0, n, numPartitions=parts).mapInPandas(_gen, schema=schema)
+
+
 def synthesize_embeddings(spark, n: int = DEFAULT_N, partitions: int | None = None, **kw):
     """Distributed generation: spark.range → mapInPandas, schema
     (vec_id long, embedding array<float>)."""

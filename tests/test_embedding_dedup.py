@@ -1,0 +1,96 @@
+"""Embedding-cosine near-dup dedup (task directive): the planted-family
+corpus, the independent numpy ground truth, and the Spark operator must
+agree exactly.
+
+Corpus contract (sources/synthetic_embeddings.py): NEARDUP_BASE
+near-orthogonal bases; the first NEARDUP_FAMS each get NEARDUP_DUPS
+planted duplicates at cos >= ~0.996. The >=0.99 component structure is
+therefore exactly the family structure and the min-id survivors are the
+base ids — verified here by numpy all-pairs + union-find, NOT assumed."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from politics_crawler_spark.sources.synthetic_embeddings import (
+    NEARDUP_BASE,
+    NEARDUP_DUPS,
+    NEARDUP_FAMS,
+    NEARDUP_TOTAL,
+    neardup_embeddings_np,
+    neardup_survivors_np,
+    synthesize_neardup_embeddings,
+)
+
+
+def test_numpy_ground_truth_survivors():
+    """The independent exact all-pairs + union-find collapse yields
+    EXACTLY the base ids — anchors the q35 oracle's literal row."""
+    surv = neardup_survivors_np(threshold=0.99)
+    assert surv == list(range(NEARDUP_BASE))
+
+
+def test_spark_numpy_generator_parity(spark):
+    """Distributed generator and numpy oracle path produce bit-identical
+    float32 rows for the near-dup corpus (same contract as the clustered
+    ANN corpus)."""
+    ids = list(range(64)) + list(
+        range(NEARDUP_BASE, NEARDUP_BASE + 64)
+    )
+    rows = (
+        synthesize_neardup_embeddings(spark, NEARDUP_BASE + 64)
+        .filter(F.col("vec_id").isin(ids))
+        .orderBy("vec_id")
+        .collect()
+    )
+    got = np.asarray([r.embedding for r in rows], dtype=np.float32)
+    expect = neardup_embeddings_np(NEARDUP_BASE + 64)[np.asarray(ids)]
+    assert np.array_equal(got, expect)
+
+
+def test_embedding_neardup_pairs_and_dedup_small(spark):
+    """On a small slice (500 bases + all dups of the first 100 families)
+    the operator's verified pairs equal the numpy exact >=threshold pairs,
+    and the dedup survivors equal the numpy union-find survivors."""
+    from politics_crawler_spark.operators.similarity import (
+        embedding_neardup_dedup,
+        embedding_neardup_pairs,
+    )
+
+    n_fams, n_base = 100, 500
+    ids = list(range(n_base)) + [
+        NEARDUP_BASE + k * NEARDUP_FAMS + f
+        for k in range(NEARDUP_DUPS)
+        for f in range(n_fams)
+    ]
+    corpus = (
+        synthesize_neardup_embeddings(spark)
+        .filter(F.col("vec_id").isin(ids))
+        .persist()
+    )
+    m = neardup_embeddings_np()[np.asarray(sorted(ids))].astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    sid = np.asarray(sorted(ids))
+    S = m @ m.T
+    iu = np.triu_indices(len(sid), k=1)
+    exact = {
+        (int(sid[i]), int(sid[j]))
+        for i, j in zip(*iu)
+        if S[i, j] >= 0.99
+    }
+
+    got_pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(corpus, threshold=0.99).collect()
+    }
+    assert got_pairs == exact and len(exact) > 0
+
+    surv = {
+        r.vec_id
+        for r in embedding_neardup_dedup(corpus, threshold=0.99)
+        .select("vec_id")
+        .collect()
+    }
+    assert surv == set(range(n_base))
+    corpus.unpersist()

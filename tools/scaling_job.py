@@ -132,6 +132,17 @@ def main():
                     "t_terminal": round(wall - t_loop, 2),
                     "t_seen": round(sum(m["t_seen_ms"] for m in res.metrics) / 1000, 2),
                 }
+        # In-JVM churn hygiene: checkpoint blocks and broadcast vars are
+        # freed by ContextCleaner only after JVM GC notices the refs died
+        # (round-3 measured a 2.5× late-trial wall inflation from this).
+        # Drop the Python refs, then ask both collectors explicitly so
+        # trial k+1 starts from the same storage state as trial 0.
+        import gc as _gc
+
+        if args.mode == "crawl":
+            del res
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
     wall, urls = best
 
     out = {
