@@ -10,7 +10,7 @@ synthesizes a pages snapshot scaled to the sf and runs the full frontier
 loop; its throughput (list pages + detail posts per second) is the
 BASELINE.json primary metric at sandbox scale.
 
-BEST-OF-N ($SPARK_GRAFT_TRIALS, default 2): this host's wall clock varies
+BEST-OF-N ($SPARK_GRAFT_TRIALS, default 3): this host's wall clock varies
 ±30-50% run-to-run (BENCH_SCALING.json raw trials), so single-shot numbers
 are coin flips — BENCH_r02's crawl "regression" (101 s vs 63 s, identical
 code paths re-measured at 28-47 s) was exactly that. Reported per-query time
@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
 
 BENCH_QUERIES = [
     "q01_filter_project",
