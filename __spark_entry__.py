@@ -264,9 +264,9 @@ def q15_minhash_pairs(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    # persisted: lsh_candidate_pairs consumes sigs three times (banding +
-    # both est-side joins) now that the banded exchange is sig-free
-    sigs = minhash_signatures(d).persist()
+    # band-agreement estimation (VERDICT r4 #2): sigs feed only the banded
+    # exchange now — consumed once, no persist, no est-side sig joins
+    sigs = minhash_signatures(d)
     cands = lsh_candidate_pairs(sigs, est_threshold=0.35)
     return exact_jaccard_verify(cands, d, k=5, threshold=0.5).orderBy("id_a", "id_b")
 

@@ -15,6 +15,17 @@ BEST-OF-N ($SPARK_GRAFT_TRIALS, default 3): this host's wall clock varies
 are coin flips — BENCH_r02's crawl "regression" (101 s vs 63 s, identical
 code paths re-measured at 28-47 s) was exactly that. Reported per-query time
 = min over trials; all raw trials ship in "trials" for auditability.
+
+TRIAL DEPTH IS ADAPTIVE (VERDICT r4 #1: q17's best-of-3 was still
+descending at trial 3 — JIT/cache warm-up had not converged, flipping the
+index-vs-exact comparison): queries whose FIRST trial exceeds
+$SPARK_GRAFT_HEAVY_SEC (default 2 s) get $SPARK_GRAFT_TRIALS_HEAVY trials
+(default 7); sub-second queries keep the base count. Trials of one query
+run CONSECUTIVELY (not round-robin) so its code paths and caches stay warm
+across its own trials, and the cache is cleared BETWEEN queries
+(catalog.clearCache + GC) so per-query persists cannot accumulate across
+the loop (ADVICE r4: q35's corpus / q17's embeddings persisted per trial
+with nothing dropping them).
 """
 
 from __future__ import annotations
@@ -29,6 +40,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+TRIALS_HEAVY = int(os.environ.get("SPARK_GRAFT_TRIALS_HEAVY", "7"))
+HEAVY_SEC = float(os.environ.get("SPARK_GRAFT_HEAVY_SEC", "2.0"))
 
 BENCH_QUERIES = [
     "q01_filter_project",
@@ -71,14 +84,29 @@ def main():
                       shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
+    import gc as _gc
+
+    def _hygiene():
+        # drop query-scoped persists + checkpoint blocks between queries
+        # (ContextCleaner acts only after GC notices the dead refs)
+        spark.catalog.clearCache()
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     qs = entrymod.queries()
-    trials: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    trials: dict[str, list[float]] = {}
     trials["crawl"] = []
-    for _ in range(TRIALS):
-        for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES:
+        ts: list[float] = []
+        target = TRIALS
+        while len(ts) < target:
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            trials[name].append(round(time.time() - t0, 3))
+            ts.append(round(time.time() - t0, 3))
+            if len(ts) == 1 and ts[0] > HEAVY_SEC:
+                target = max(TRIALS, TRIALS_HEAVY)
+        trials[name] = ts
+        _hygiene()
     times = {name: min(ts) for name, ts in trials.items() if ts}
 
     # crawl throughput at sf-proportional snapshot size; wide frontier
@@ -105,9 +133,7 @@ def main():
         for c in res.caches:  # drop per-run caches; pages stays persisted
             c.unpersist()
         # churn hygiene between trials: free checkpoint blocks/broadcasts
-        # (ContextCleaner acts only after GC notices the dead refs)
-        import gc as _gc
-
+        # (no clearCache here — pages must STAY cached across crawl trials)
         del res
         _gc.collect()
         spark.sparkContext._jvm.System.gc()
@@ -121,6 +147,8 @@ def main():
         "unit": "sec",
         "queries": times,
         "trials": trials,
+        "trial_counts": {k: len(v) for k, v in trials.items()},
+        "trial_policy": f"base {TRIALS}, {TRIALS_HEAVY} when trial1 > {HEAVY_SEC}s; consecutive per query, clearCache between queries",
         "sf": sf,
         "crawl_pages_snapshot": n_rows,
         "crawl_extracted": n_extracted,

@@ -70,9 +70,16 @@ def main(argv=None):
         )
         q.awaitTermination()
         import json as _json
+        import os as _os
 
-        with open(args.out + "/state.json") as f:
-            print(_json.dumps(_json.load(f)))
+        # zero pending ticks → crawl_tick never ran and state.json does
+        # not exist yet: report an empty run instead of crashing (ADVICE r4)
+        state_path = args.out + "/state.json"
+        if _os.path.exists(state_path):
+            with open(state_path) as f:
+                print(_json.dumps(_json.load(f)))
+        else:
+            print(_json.dumps({"last_run": None}))
         return
 
     res = run_crawl(

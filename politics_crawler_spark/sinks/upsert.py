@@ -160,7 +160,14 @@ def upsert_partitioned(
             f"works on a local filesystem; got {target_path!r} — use an "
             f"Iceberg table with merge_sql() for non-local stores"
         )
-    target_path = target_path.removeprefix("file://")
+    if target_path.startswith("file:"):
+        # Spark emits both 'file:///p' and the single-slash 'file:/p';
+        # stripping only 'file://' would leave the latter as a bogus
+        # relative path for os.listdir/os.rename (ADVICE r4) — urlparse
+        # yields the bare filesystem path for every file: spelling.
+        from urllib.parse import urlparse
+
+        target_path = urlparse(target_path).path
 
     # Recover any .bak left by a crash in a previous run's swap window:
     # dst present  → the swap completed, the .bak is a stale safety copy

@@ -136,8 +136,12 @@ def crawl_cadence(
     def _run_batch(batch_df, batch_id: int):
         lines = [r.value.strip() for r in batch_df.collect() if r.value.strip()]
         kw = dict(crawl_kw)
-        # a date in the tick file wins over the cadence-level default
-        run_date = (lines[0] if lines else None) or kw.pop("run_date", None)
+        # a date in the tick file wins over the cadence-level default; the
+        # pop must be UNCONDITIONAL — short-circuiting it behind the tick
+        # date would leave run_date in kw and crash crawl_tick with a
+        # duplicate keyword whenever the tick file is non-empty (ADVICE r4)
+        default_rd = kw.pop("run_date", None)
+        run_date = (lines[0] if lines else None) or default_rd
         crawl_tick(
             spark, state_dir, pages=pages, fetcher=fetcher,
             run_id=int(batch_id), run_date=run_date, n_shards=n_shards,

@@ -231,3 +231,26 @@ def test_upsert_partitioned_bak_recovery_and_uri_guard(spark, tmp_path):
     # (c) object-store URI → loud refusal naming the Iceberg path
     with pytest.raises(ValueError, match="merge_sql"):
         upsert_partitioned(spark, "s3://bucket/extracted", batch)
+
+
+def test_upsert_partitioned_file_uri_forms(spark, tmp_path):
+    """Spark's single-slash 'file:/p' and the 'file:///p' form must both
+    normalize to the bare path (ADVICE r4: only 'file://' was stripped, so
+    'file:/p' reached os.listdir as a bogus relative path and the swap
+    silently no-oped)."""
+    from politics_crawler_spark.sinks.upsert import upsert_partitioned
+
+    for i, prefix in enumerate(["file:", "file://"]):
+        tgt = str(tmp_path / f"extracted{i}")
+        normalize_batch(
+            spark.createDataFrame(
+                [_row("u1", "1p", "p1", "t1", "w1", 100, "old", D1)], EXT_SCHEMA
+            )
+        ).write.partitionBy("community").parquet(tgt)
+        batch = spark.createDataFrame(
+            [_row("u1b", "1p", "p1", "t1", "w1", 777, "new", D2)], EXT_SCHEMA
+        )
+        touched = upsert_partitioned(spark, prefix + tgt, batch)
+        assert touched == ["1p"]
+        rows = {r.post_id: r for r in spark.read.parquet(tgt).collect()}
+        assert rows["p1"].views == 777 and rows["p1"].content == "new"

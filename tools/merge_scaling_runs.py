@@ -22,6 +22,7 @@ def main():
     walls: dict[str, list[float]] = {}
     best: dict[str, dict] = {}
     runs_used = []
+    urls_seen: set[int] = set()
     for path in logs:
         runs_used.append(path)
         with open(path) as f:
@@ -34,9 +35,23 @@ def main():
                     continue
                 key = f"local{r['cpus']}"
                 walls.setdefault(key, []).extend(r["trial_walls"])
+                # recover processed_urls from each record (bench_scaling's
+                # per-invocation lines carry urls_per_sec × wall_sec, both
+                # from the same scaling_job result) — a hardcoded count
+                # silently poisons merges of any other config (ADVICE r4)
+                urls_seen.add(round(r["urls_per_sec"] * r["wall_sec"]))
                 if key not in best or r["wall_sec"] < best[key]["wall_sec"]:
                     best[key] = r
-    urls = 459149  # processed_urls (extracted + list pages) of the 4.8M config
+    if not urls_seen:
+        raise SystemExit("no crawl records found in the given logs")
+    # identical-code runs on one snapshot process the same URL count;
+    # tolerate only the ±1 rounding of the urls_per_sec field itself
+    if max(urls_seen) - min(urls_seen) > max(2, max(urls_seen) // 10_000):
+        raise SystemExit(
+            f"logs disagree on processed_urls ({sorted(urls_seen)}): "
+            "these are not same-config runs — refusing to merge"
+        )
+    urls = max(urls_seen)
     ladder = {}
     for key, b in best.items():
         ladder[key] = {
