@@ -209,9 +209,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 
     The floor of the estimator is (1/bands)^(1/rows_per_band) — 0.5 at the
     16×4 default — so thresholds at or below the floor gate nothing beyond
-    the bucket join itself; pair decisions should come from
-    :func:`exact_jaccard_verify` downstream (the sketch proposes, exact
-    verifies), which is how minhash_dedup and q15 use it.
+    the bucket join itself. This stage is therefore a RECALL stage (the
+    LSH OR-construction): on template-heavy corpora most of its output is
+    single-band chance collisions. Run :func:`sig_jaccard_refine` next to
+    prune those with the full-signature estimate BEFORE the expensive
+    exact verify — measured at sf0.1 (5k docs, 170k banded candidates,
+    169k of them single-band), skipping the refine makes the exact
+    char-gram verify the bottleneck at ~27 s, while the refine's two
+    fixed-width broadcast joins cost well under a second.
     """
     assert bands * rows_per_band <= 64
     banded = sigs.select(
@@ -251,6 +256,47 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         .agg(F.count("*").alias("_m"))
         .filter(est >= est_threshold)  # unrounded, like the verify stages
         .select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
+    )
+
+
+def sig_jaccard_refine(pairs: DataFrame, sigs: DataFrame,
+                       id_col: str = "doc_id",
+                       min_est: float = 0.35) -> DataFrame:
+    """Precision gate between the banded candidate generator and the exact
+    verify: re-score ``(id_a, id_b)`` pairs with the FULL ``num_perm``
+    signature agreement and keep those >= ``min_est``.
+
+    Why this stage exists (measured, r5): the banded join is the LSH
+    RECALL stage — at sf0.1 it emits 170k candidates of which only ~256
+    survive exact verification, and running the exact char-gram Jaccard
+    (array_intersect over ~300-string arrays) on all 170k costs ~27 s.
+    The 64-perm estimate has sd ~ sqrt(j(1-j)/64) ≈ 0.06, so a gate 2.5σ
+    under the decision threshold is recall-safe and prunes the chance
+    collisions for the price of two equi-joins against the fixed-width
+    sigs table (8×64 B/doc — broadcast at small N; at 100 TB a shuffle on
+    the id key, still narrow). Decisions still come from
+    :func:`exact_jaccard_verify` downstream — the cascade is
+    sketch-recall → sketch-precision → exact.
+
+    ``sigs`` is consumed by the banding AND both refine joins: callers
+    should persist it (or at scale materialize it to storage).
+    """
+    withsigs = pairs.select("id_a", "id_b").join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+        on="id_a",
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+        on="id_b",
+    )
+    est = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size(F.col("sig_a"))
+    return (
+        withsigs.select("id_a", "id_b", est.alias("_est"))
+        .filter(F.col("_est") >= min_est)
+        .select("id_a", "id_b", F.round("_est", 6).alias("jaccard_est"))
     )
 
 
@@ -330,10 +376,14 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     ≥-threshold pair graph (community-standard transitive collapse, via
     :func:`connected_min_reps`): in a chain A~B~C with A≁C, only A survives
     even though A and C never paired directly."""
-    # sigs consumed once (band-agreement estimation) — no persist needed
-    sigs = minhash_signatures(df, text_col, id_col, shingle_k=shingle_k)
-    # cheap estimate gate well below the decision threshold (recall-safe)
-    pairs = lsh_candidate_pairs(sigs, id_col, est_threshold=threshold * 0.7)
+    # persisted: sigs feed the banding and both sig_jaccard_refine joins
+    sigs = minhash_signatures(df, text_col, id_col, shingle_k=shingle_k).persist()
+    # recall stage (banded OR-construction), then the full-sig precision
+    # gate well below the decision threshold (recall-safe, see
+    # sig_jaccard_refine) — without it every chance collision hits the
+    # expensive exact verify (measured 27 s at sf0.1, r5)
+    cands = lsh_candidate_pairs(sigs, id_col, est_threshold=0.0)
+    pairs = sig_jaccard_refine(cands, sigs, id_col, min_est=threshold * 0.7)
     if exact_verify:
         pairs = exact_jaccard_verify(
             pairs, df, id_col=id_col, text_col=text_col,
@@ -342,6 +392,7 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     else:
         pairs = pairs.filter(F.col("jaccard_est") >= threshold)
     reps = connected_min_reps(pairs)
+    sigs.unpersist()  # connected_min_reps checkpointed; sigs no longer needed
     dropped = reps.filter(F.col("rep") < F.col("node")).select(
         F.col("node").alias(id_col)
     )
