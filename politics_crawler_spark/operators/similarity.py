@@ -146,22 +146,64 @@ def lsh_candidates(
 ) -> DataFrame:
     """Candidate (q_id, n_id, q_vec, n_vec) pairs from random-hyperplane
     bucketing — the prune stage of :func:`lsh_topk`, exposed so tests can
-    assert candidate volume ≪ N·Q for a given config."""
+    assert candidate volume ≪ N·Q for a given config.
+
+    Exchange discipline (r5, the same fix the r3 round applied to the
+    minhash banded join): the exploded bucket rows and the candidate
+    dedup carry BARE IDS — the embedding vectors do not ride the
+    tables×N exploded exchange (32 floats × tables per doc of dead
+    width; measured ~200 MB of shuffle at the 100k corpus, and the
+    reason the r4 bench's q17 walls were noise-dominated). Vectors join
+    back once per side onto the deduped candidate set."""
     udf = make_multitable_bucket_udf(bits, tables, dim=dim)
 
     def bucketize(df, prefix):
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            F.col(vec_col).alias(f"{prefix}_vec"),
             F.posexplode(udf(F.col(vec_col))).alias("table", "bucket"),
         )
 
-    v = bucketize(vectors, "n")
-    q = bucketize(queries, "q")
-    return (
-        v.join(F.broadcast(q), on=["table", "bucket"])
+    cand = (
+        bucketize(vectors, "n")
+        .join(F.broadcast(bucketize(queries, "q")), on=["table", "bucket"])
         .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
+    )
+    return cand.join(
+        vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        on="n_id",
+    ).join(
+        F.broadcast(
+            queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        ),
+        on="q_id",
+    )
+
+
+def _topk_from_collisions(collisions: DataFrame, k: int) -> DataFrame:
+    """Per-query dedupe + top-k over raw bucket-collision rows
+    ``(query_id, neighbor_id, sim)`` in ONE narrow exchange.
+
+    A pair colliding in several tables/cells yields IDENTICAL rows (sim is
+    deterministic per pair), so ``collect_set`` of (−sim, id) structs
+    dedupes them inside the aggregate — no separate dropDuplicates
+    exchange and no window exchange. ``array_sort`` on the struct orders
+    (sim desc, id asc) — the same deterministic tiebreak row_number used —
+    and ``slice`` keeps k. The per-group state is bounded by the query's
+    candidate count (bucket-size bound), and partial aggregation dedupes
+    map-side before the exchange."""
+    item = F.struct((-F.col("sim")).alias("nsim"), F.col("neighbor_id").alias("nid"))
+    return (
+        collisions.groupBy("query_id")
+        .agg(F.slice(F.array_sort(F.collect_set(item)), 1, k).alias("_top"))
+        .select("query_id", F.posexplode("_top").alias("_pos", "_it"))
+        .select(
+            "query_id",
+            F.col("_it.nid").alias("neighbor_id"),
+            (-F.col("_it.nsim")).alias("sim"),
+            (F.col("_pos") + 1).alias("rank"),
+        )
     )
 
 
@@ -177,24 +219,35 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets × several tables.
 
-    At 100 TB the bucket equi-join shuffles each side once on (table,
-    bucket); candidate volume ~N/2^bits per table instead of N. ``dim`` is
-    optional (plans derive it from the data inside the UDF).
+    Exchange discipline (r5): the vectors NEVER shuffle. The exploded
+    bucket rows stream map-side into the broadcast join with the
+    bucketized queries, the exact cosine is computed per COLLISION row in
+    the same stage (a pair seen by t tables costs t cosines — ~1.2× the
+    distinct-pair work, bought back many times over by skipping the
+    pair-dedup exchange and both vector join-backs), and the single
+    exchange of the whole plan is the narrow (query_id, neighbor_id, sim)
+    aggregate of :func:`_topk_from_collisions`. At 100 TB the broadcast
+    side is Q×tables rows; with a huge query set the same plan holds with
+    the bucket join as a shuffle equi-join on (table, bucket).
     """
-    cands = lsh_candidates(vectors, queries, dim, bits, tables, id_col, vec_col)
+    udf = make_multitable_bucket_udf(bits, tables, dim=dim)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.posexplode(udf(F.col(vec_col))).alias("table", "bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.posexplode(udf(F.col(vec_col))).alias("table", "bucket"),
+    )
     sim = F.round(_cosine(F.col("q_vec"), F.col("n_vec")), 4)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
+    collisions = (
+        v.join(F.broadcast(q), on=["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
     )
-    return (
-        cands.select(
-            F.col("q_id").alias("query_id"),
-            F.col("n_id").alias("neighbor_id"),
-            sim.alias("sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_from_collisions(collisions, k)
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +302,9 @@ def ivf_candidates(
 ) -> DataFrame:
     """Candidate (q_id, n_id, q_vec, n_vec) pairs from probed IVF cells —
     the prune stage of :func:`ivf_topk`, exposed for candidate-volume
-    assertions."""
+    assertions. Same exchange discipline as :func:`lsh_candidates` (r5):
+    the cell-exploded rows and the pair dedup ship bare ids; vectors join
+    back once per side after the dedup."""
     sample = np.asarray(
         [r[0] for r in vectors.select(vec_col).limit(sample_n).collect()],
         dtype=np.float64,
@@ -260,18 +315,26 @@ def ivf_candidates(
 
     v = vectors.select(
         F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
         F.explode(v_cells(F.col(vec_col))).alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
         F.explode(q_cells(F.col(vec_col))).alias("cell"),
     )
-    return (
+    cand = (
         v.join(F.broadcast(q), on="cell")
         .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
+    )
+    return cand.join(
+        vectors.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        on="n_id",
+    ).join(
+        F.broadcast(
+            queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        ),
+        on="q_id",
     )
 
 
@@ -292,26 +355,37 @@ def ivf_topk(
     its cell and every query its ``n_probe`` nearest cells, equi-join on
     cell, exact cosine re-rank.
 
-    At scale: the vectors side shuffles once on the 32-bit cell key;
-    candidate volume ≈ N * n_probe / n_cells. Data-adaptive (centroids
-    follow the distribution), unlike hyperplane LSH.
+    Candidate volume ≈ N * n_probe / n_cells. Data-adaptive (centroids
+    follow the distribution), unlike hyperplane LSH. Same exchange
+    discipline as :func:`lsh_topk` (r5): vectors never shuffle — the cell
+    join is a map-side broadcast against the probed query cells, the
+    exact cosine is computed per collision row in the scan stage, and the
+    plan's one exchange is the narrow top-k aggregate.
     """
-    cands = ivf_candidates(
-        vectors, queries, n_cells, n_probe, sample_n, seed, id_col, vec_col
+    sample = np.asarray(
+        [r[0] for r in vectors.select(vec_col).limit(sample_n).collect()],
+        dtype=np.float64,
+    )
+    cent = _kmeans(sample, n_cells, seed)
+    v_cells = make_cell_udf(cent, n_probe=1)
+    q_cells = make_cell_udf(cent, n_probe=n_probe)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.explode(v_cells(F.col(vec_col))).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(q_cells(F.col(vec_col))).alias("cell"),
     )
     sim = F.round(_cosine(F.col("q_vec"), F.col("n_vec")), 4)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
+    collisions = (
+        v.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
     )
-    return (
-        cands.select(
-            F.col("q_id").alias("query_id"),
-            F.col("n_id").alias("neighbor_id"),
-            sim.alias("sim"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_from_collisions(collisions, k)
 
 
 # --------------------------------------------------------------------------
