@@ -701,6 +701,84 @@ def q35_embedding_neardup_dedup(spark, sf):
     )
 
 
+def q36_gopher_repetition(spark, sf):
+    """Gopher-style repetition filter (arXiv:2112.11446 App. A1.1 rules,
+    re-expressed): per-doc duplicate-word fraction, mean word length, and
+    most-common-bigram fraction, plus the keep decision. Array stats are
+    shuffle-free codegen; the bigram mode is two narrow fixed-width-key
+    aggregations (operators/webquality.py). Thresholds chosen to split
+    this corpus non-degenerately (the paper's assume real prose)."""
+    from politics_crawler_spark.operators.webquality import (
+        gopher_keep,
+        repetition_profile,
+    )
+
+    p = repetition_profile(_t(spark, sf, "documents"))
+    return p.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "mean_word_len",
+        "top_bigram_frac",
+        gopher_keep(
+            F.col("n_words"),
+            F.col("dup_word_frac"),
+            F.col("mean_word_len"),
+            F.col("top_bigram_frac"),
+        ).alias("keep"),
+    )
+
+
+def q37_pii_redact(spark, sf):
+    """PII detection + redaction over deterministically PLANTED PII (the
+    corpus itself contains none — the same planting pattern q07 uses for
+    duplicates, mirrored exactly in the oracle SQL): emails appended to
+    doc_id%7 rows, phone numbers to doc_id%11 rows. Patterns live in the
+    RE2 ∩ Java-regex common dialect so DuckDB reproduces the exact
+    redacted strings; graded value-for-value including the text."""
+    from politics_crawler_spark.operators.webquality import pii_profile
+
+    d = _t(spark, sf, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" tel 010-9876-5432")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_profile(planted)
+
+
+def q38_c4_doc_gate(spark, sf):
+    """C4-style document-shape gate (arXiv:1910.10683 heuristics adapted
+    to doc granularity): word-count floor, no giant tokens, alphabetic-
+    token fraction, stopword-presence fluency proxy — each rule's boolean
+    plus the conjunction, all whole-stage codegen with zero shuffles."""
+    from politics_crawler_spark.operators.webquality import c4_doc_gate
+
+    return c4_doc_gate(_t(spark, sf, "documents"))
+
+
+def q39_ngram_freq(spark, sf):
+    """Corpus-wide bigram frequency table (vocabulary / boilerplate
+    discovery): one aggregation keyed by the n-gram; map-side partial agg
+    collapses the Zipf head before the exchange, which carries only
+    (ngram, doc_id) partials — never the text."""
+    from politics_crawler_spark.operators.webquality import ngram_freq
+
+    return ngram_freq(_t(spark, sf, "documents"), n=2, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -738,6 +816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_minhash_dedup": q33_minhash_dedup,
         "q34_ann_exact_clustered": q34_ann_exact_clustered,
         "q35_embedding_neardup_dedup": q35_embedding_neardup_dedup,
+        "q36_gopher_repetition": q36_gopher_repetition,
+        "q37_pii_redact": q37_pii_redact,
+        "q38_c4_doc_gate": q38_c4_doc_gate,
+        "q39_ngram_freq": q39_ngram_freq,
     }
 
 
@@ -1097,5 +1179,101 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "q36_gopher_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+                FROM toks, unnest(range(1, len(t))) AS u(i)
+                WHERE len(t) >= 2
+            ),
+            top AS (
+                SELECT doc_id, max(c) AS top_c FROM (
+                    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2
+                ) GROUP BY doc_id
+            ),
+            s AS (
+                SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+                       round(CASE WHEN len(t) > 0
+                             THEN 1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE)
+                             ELSE 0.0 END, 6) AS dup_word_frac,
+                       round(CASE WHEN len(t) > 0
+                             THEN list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t)
+                             ELSE 0.0 END, 6) AS mean_word_len
+                FROM toks
+            )
+            SELECT s.doc_id, s.n_words, s.dup_word_frac, s.mean_word_len,
+                   round(coalesce(top.top_c / CAST(s.n_words - 1 AS DOUBLE), 0.0), 6)
+                       AS top_bigram_frac,
+                   (s.n_words BETWEEN 30 AND 100000
+                    AND s.dup_word_frac <= 0.55
+                    AND s.mean_word_len BETWEEN 3.0 AND 10.0
+                    AND round(coalesce(top.top_c / CAST(s.n_words - 1 AS DOUBLE), 0.0), 6) <= 0.10)
+                       AS keep
+            FROM s LEFT JOIN top ON s.doc_id = top.doc_id
+        """,
+        "q37_pii_redact": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                          THEN ' tel 010-9876-5432' ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '\b01[0-9]-[0-9]{3,4}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\b01[0-9]-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g')
+                       AS redacted
+            FROM planted
+        """,
+        "q38_c4_doc_gate": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '\w+') AS t,
+                       len(regexp_extract_all(lower(text), '\b%EN%\b')) > 0 AS ok_stopword
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id,
+                       CAST(len(t) AS BIGINT) AS n_words,
+                       len(t) >= 20 AS ok_min_words,
+                       coalesce(list_max(list_transform(t, x -> length(x))), 0) <= 30
+                           AS ok_word_len,
+                       round(CASE WHEN len(t) > 0
+                             THEN len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                                  / CAST(len(t) AS DOUBLE)
+                             ELSE 0.0 END, 6) >= 0.8 AS ok_alpha,
+                       ok_stopword
+                FROM s
+            )
+            SELECT doc_id, n_words, ok_min_words, ok_word_len, ok_alpha, ok_stopword,
+                   (ok_min_words AND ok_word_len AND ok_alpha AND ok_stopword) AS keep
+            FROM r
+        """.replace("%EN%", _EN),
+        "q39_ngram_freq": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents
+            ),
+            g AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] AS ngram
+                FROM toks, unnest(range(1, len(t))) AS u(i)
+                WHERE len(t) >= 2
+            )
+            SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS total
+            FROM g GROUP BY ngram HAVING count(*) >= 2
         """,
     }
