@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "q33_minhash_dedup",
     "q34_ann_exact_clustered",  # brute-force baseline q17/q32 must beat
     "q35_embedding_neardup_dedup",
+    "q36_gopher_repetition",
+    "q37_pii_redact",
+    "q38_c4_doc_gate",
+    "q39_ngram_freq",
 ]
 
 

@@ -170,15 +170,24 @@ def c4_doc_gate(
 
     ok_stopword is the C4 'natural language' fluency proxy (the page
     contains at least one common English stopword)."""
-    t = tokens(F.col(text_col))
     pat = r"\b(" + "|".join(EN_STOP) + r")\b"
-    base = df.select(
+    # tokenize ONCE into a column: referencing tokens(text) directly in
+    # every stat would re-embed (and re-run) the regexp per use — the
+    # projection boundary keeps one eval per row (CollapseProject refuses
+    # to duplicate non-cheap expressions referenced more than once)
+    toked = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_t"),
+        (F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 0)) > 0
+         ).alias("ok_stopword"),
+    )
+    t = F.col("_t")
+    base = toked.select(
         F.col(id_col),
         F.size(t).cast("long").alias("n_words"),
         max_word_length(t).alias("_maxw"),
         F.round(alpha_word_fraction(t), 6).alias("_alpha"),
-        (F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 0)) > 0
-         ).alias("ok_stopword"),
+        "ok_stopword",
     )
     return base.select(
         id_col,
@@ -235,8 +244,14 @@ def ngram_freq(
     aggregation collapses each partition's duplicates before the exchange,
     and hot n-grams (Zipf head) are exactly the rows partial-agg compresses
     hardest. count_distinct(doc) makes the exchange carry (ngram, doc_id)
-    partials — still two fixed-width-ish columns, never the text."""
-    t = tokens(F.col(text_col))
+    partials — still two fixed-width-ish columns, never the text.
+
+    The token array is projected into a column BEFORE the bigram
+    transform: composing ``tokens(text)`` directly into the lambda
+    re-embeds the regexp per array element, so the regex re-ran per
+    BIGRAM instead of per row (measured 8.7 s → 0.9 s at sf0.1)."""
+    base = df.select(F.col("doc_id"), tokens(F.col(text_col)).alias("_t"))
+    t = F.col("_t")
     grams = F.when(
         F.size(t) >= n,
         F.transform(
@@ -247,7 +262,7 @@ def ngram_freq(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col("doc_id"), F.explode(grams).alias("ngram"))
+        base.select(F.col("doc_id"), F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
