@@ -779,6 +779,50 @@ def q39_ngram_freq(spark, sf):
     return ngram_freq(_t(spark, sf, "documents"), n=2, min_count=2)
 
 
+def q40_media_header_decode(spark, sf):
+    """Multimodal plumbing, driver-verifiable end-to-end: plant PNG/GIF/
+    JPEG file headers as binary columns with pure JVM expressions (unhex
+    of hex-assembled headers, dims derived from doc_id), then decode them
+    with the REAL stdlib header parser behind the Arrow mapInPandas media
+    path (operators/multimodal.py) and emit the typed metadata. The
+    DuckDB oracle recomputes the planted dims arithmetically — matching
+    hashes prove the binary round-trip (JVM expression → Arrow batch →
+    struct parse) is byte-exact for all three header formats. Media
+    payloads never shuffle: decode runs where the scan runs and only the
+    slim typed metadata reaches the final sort exchange.
+
+    Reference surface: the crawlers collect image URL lists only
+    (dcinside_politics.py:52-53); header decode is engine-added surface.
+    """
+    from politics_crawler_spark.operators.multimodal import extract_media_features
+
+    did = F.col("doc_id")
+    w = (did % 1024 + 16).cast("long")
+    h = ((did * 7) % 768 + 16).cast("long")
+
+    def hx(c, nibbles):
+        return F.lpad(F.hex(c), nibbles, "0")
+
+    def le16(c):  # little-endian u16 (GIF logical screen descriptor)
+        return F.concat(hx(c % 256, 2), hx(F.shiftright(c, 8) % 256, 2))
+
+    png = F.concat(F.lit("89504E470D0A1A0A0000000D49484452"), hx(w, 8), hx(h, 8))
+    gif = F.concat(F.lit("474946383961"), le16(w), le16(h))
+    jpg = F.concat(F.lit("FFD8FFC0001108"), hx(h, 4), hx(w, 4))  # SOF0 frame
+    media = _t(spark, sf, "documents").select(
+        did.alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(
+            F.when(did % 3 == 0, png).when(did % 3 == 1, gif).otherwise(jpg)
+        ).alias("payload"),
+    )
+    return (
+        extract_media_features(media)
+        .select("media_id", "n_bytes", "width", "height", "status")
+        .orderBy("media_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -820,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_pii_redact": q37_pii_redact,
         "q38_c4_doc_gate": q38_c4_doc_gate,
         "q39_ngram_freq": q39_ngram_freq,
+        "q40_media_header_decode": q40_media_header_decode,
     }
 
 
@@ -1275,5 +1320,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                    CAST(count(*) AS BIGINT) AS total
             FROM g GROUP BY ngram HAVING count(*) >= 2
+        """,
+        # q40: the oracle recomputes the PLANTED dims arithmetically; a
+        # hash match proves the Spark side's expression-built binaries
+        # were decoded byte-exactly by the stdlib header parser.
+        "q40_media_header_decode": r"""
+            SELECT doc_id AS media_id,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 10
+                        ELSE 11 END AS BIGINT) AS n_bytes,
+                   CAST(doc_id % 1024 + 16 AS INTEGER) AS width,
+                   CAST((doc_id * 7) % 768 + 16 AS INTEGER) AS height,
+                   'ok' AS status
+            FROM documents ORDER BY media_id
         """,
     }

@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q37_pii_redact",
     "q38_c4_doc_gate",
     "q39_ngram_freq",
+    "q40_media_header_decode",
 ]
 
 

@@ -80,6 +80,25 @@ def test_header_decode_stdlib():
     assert parse_image_header(b"") is None
 
 
+def test_q40_expression_built_headers_round_trip(spark):
+    """q40's JVM-expression-built PNG/GIF/JPEG headers (hex-assembled,
+    unhex'd to binary) decode through the Arrow mapInPandas path to the
+    exact planted dims — the binary round-trip is byte-exact for all
+    three header layouts (big-endian u32, little-endian u16, SOF0)."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_001
+
+    rows = entry.q40_media_header_decode(spark, SF_001).collect()
+    assert len(rows) > 0
+    sizes = set()
+    for r in rows:
+        assert r.status == "ok"
+        assert r.width == r.media_id % 1024 + 16
+        assert r.height == (r.media_id * 7) % 768 + 16
+        sizes.add(r.n_bytes)
+    assert sizes == {24, 10, 11}  # png, gif, jpeg headers all exercised
+
+
 def test_feature_extraction_real_headers(spark):
     """End-to-end mapInPandas with REAL header payloads: dims come from the
     header parse (status ok) with deterministic_fake left OFF."""
