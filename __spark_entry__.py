@@ -823,6 +823,89 @@ def q40_media_header_decode(spark, sf):
     )
 
 
+_BOILER = [
+    "subscribe to our newsletter for daily updates",
+    "all rights reserved copyright site network",
+    "cookie policy accept terms and conditions",
+]
+
+
+def _planted_lines(spark, sf):
+    """Documents with a boilerplate second line planted on doc_id%5 rows
+    (cycling three fixed strings) — the corpus has no newlines of its own,
+    so cross-document line dedup needs a deterministic multi-line plant,
+    mirrored exactly in the oracle SQL (same pattern as q07/q37 plants)."""
+    d = _t(spark, sf, "documents")
+    b = F.element_at(
+        F.array(*[F.lit(s) for s in _BOILER]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("\n"), b)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q41_decontaminate(spark, sf):
+    """GPT-3-style benchmark decontamination (arXiv:2005.14165 App C):
+    flag training docs sharing any token 8-gram with the eval set. The
+    eval set is the doc_id%19 slice of the corpus itself — exact train/
+    test leakage, the very thing decontamination exists to catch — so
+    every slice member is contaminated by construction and chance 8-gram
+    collisions over the 29-word vocabulary add a deterministic tail.
+    Plan: eval grams deduped + broadcast; the only post-scan exchange is
+    the (doc_id)-keyed count (operators/curation.py)."""
+    from politics_crawler_spark.operators.curation import decontaminate_profile
+
+    d = _t(spark, sf, "documents")
+    return decontaminate_profile(d, d.filter(F.col("doc_id") % 19 == 0), n=8)
+
+
+def q42_line_dedup(spark, sf):
+    """CCNet-style cross-document boilerplate-line removal (arXiv:
+    1911.00359 §3.1): hash lines, count distinct docs per line, drop
+    lines in ≥10 docs, rebuild text in order. Planted boilerplate (three
+    fixed lines on doc_id%5 rows) is removed; every unique content line
+    survives. Frequency agg keyed xxhash64(line) — fixed-width exchange,
+    map-side combine collapses the hot boilerplate keys; survivors join
+    back broadcast (operators/curation.py)."""
+    from politics_crawler_spark.operators.curation import drop_boilerplate_lines
+
+    return drop_boilerplate_lines(_planted_lines(spark, sf), min_docs=10)
+
+
+def q43_mixture_sample(spark, sf):
+    """Deterministic hash-Bernoulli mixture sampling by source (the
+    per-source rate sampling of every published LLM data recipe, made
+    reproducible): keep iff (doc_id*40503) mod 65536 under the source's
+    target rate, exact integer arithmetic both engines. Returns the
+    per-source audit table (target vs realized rate). Pure codegen
+    predicate + one narrow source-keyed agg (operators/curation.py)."""
+    from politics_crawler_spark.operators.curation import mixture_sample_profile
+
+    return mixture_sample_profile(_t(spark, sf, "documents"))
+
+
+def q44_token_shards(spark, sf):
+    """Token-budget shard assignment (pre-training shard layout): running
+    token total in doc_id order, shard = floor(start_offset/2000).
+    Implemented as the two-pass distributed prefix sum — per-bucket
+    subtotals, exclusive offsets over the tiny bucket table (the ONLY
+    sequential window), broadcast back, intra-bucket windows partition-
+    parallel — identical to the global window the oracle states
+    (operators/curation.py)."""
+    from politics_crawler_spark.operators.curation import token_budget_shards
+
+    return token_budget_shards(
+        _t(spark, sf, "documents"), budget=2000, bucket_docs=100
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -865,6 +948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_c4_doc_gate": q38_c4_doc_gate,
         "q39_ngram_freq": q39_ngram_freq,
         "q40_media_header_decode": q40_media_header_decode,
+        "q41_decontaminate": q41_decontaminate,
+        "q42_line_dedup": q42_line_dedup,
+        "q43_mixture_sample": q43_mixture_sample,
+        "q44_token_shards": q44_token_shards,
     }
 
 
@@ -1332,5 +1419,100 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id * 7) % 768 + 16 AS INTEGER) AS height,
                    'ok' AS status
             FROM documents ORDER BY media_id
+        """,
+        "q41_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(t) - 6),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                          t[i+4], t[i+5], t[i+6], t[i+7]))) AS grams
+                FROM toks WHERE len(t) >= 8
+            ),
+            eg AS (
+                SELECT DISTINCT gram FROM (
+                    SELECT unnest(grams) AS gram FROM g WHERE doc_id % 19 = 0
+                )
+            ),
+            tg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            hits AS (
+                SELECT tg.doc_id, count(*) AS c
+                FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(hits.c, 0) AS BIGINT) AS n_contam_grams,
+                   coalesce(hits.c, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        """,
+        "q42_line_dedup": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 5 = 0
+                           THEN chr(10) || CASE doc_id % 3
+                                WHEN 0 THEN 'subscribe to our newsletter for daily updates'
+                                WHEN 1 THEN 'all rights reserved copyright site network'
+                                ELSE 'cookie policy accept terms and conditions' END
+                           ELSE '' END AS text
+                FROM documents
+            ),
+            l0 AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted
+            ),
+            lines AS (
+                SELECT doc_id, i AS pos, ls[i] AS line
+                FROM l0, unnest(range(1, len(ls) + 1)) AS u(i)
+            ),
+            boiler AS (
+                SELECT line FROM lines
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 10
+            ),
+            kept AS (
+                SELECT * FROM lines
+                WHERE line NOT IN (SELECT line FROM boiler)
+            ),
+            reb AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT l0.doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(reb.text_clean, '') AS text_clean
+            FROM l0 LEFT JOIN reb ON l0.doc_id = reb.doc_id
+        """,
+        "q43_mixture_sample": r"""
+            WITH s AS (
+                SELECT source, doc_id,
+                       5 + (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT)
+                            * 7) % 16 AS r20,
+                       CASE WHEN ((doc_id * 40503) % 65536) * 20
+                                 < (5 + (CAST(regexp_extract(source, '(\d+)$', 1)
+                                              AS BIGINT) * 7) % 16) * 65536
+                            THEN 1 ELSE 0 END AS keep
+                FROM documents
+            )
+            SELECT source,
+                   round(CAST(min(r20) AS DOUBLE) / 20.0, 6) AS target_rate,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(sum(keep) AS BIGINT) AS n_kept,
+                   round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS realized_rate
+            FROM s GROUP BY source
+        """,
+        "q44_token_shards": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) // 2000 AS BIGINT) AS shard_id
+            FROM t
         """,
     }

@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "q38_c4_doc_gate",
     "q39_ngram_freq",
     "q40_media_header_decode",
+    "q41_decontaminate",
+    "q42_line_dedup",
+    "q43_mixture_sample",
+    "q44_token_shards",
 ]
 
 

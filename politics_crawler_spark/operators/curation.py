@@ -1,0 +1,280 @@
+"""Corpus-curation operators for training-data pipelines (task directive —
+"beyond the reference's own operators"): the whole-corpus decisions a
+100 TB webtext pipeline makes AFTER per-document cleaning — benchmark
+decontamination, cross-document boilerplate-line removal, deterministic
+mixture sampling, and token-budget shard assignment.
+
+Public provenance of the methods (methods, not code):
+- Benchmark decontamination — GPT-3 (Brown et al. 2020, arXiv:2005.14165,
+  Appendix C) removes training documents sharing any 13-gram with an
+  evaluation set; PaLM and Llama report the same n-gram-overlap scheme.
+- Line-level boilerplate dedup — CCNet (Wenzek et al. 2019,
+  arXiv:1911.00359) hashes each line and drops lines repeated across the
+  corpus; C4 (arXiv:1910.10683) drops any three-sentence span seen more
+  than once.
+- Mixture sampling — every published LLM data recipe (The Pile, Gopher,
+  Llama) samples heterogeneous sources at per-source rates; hash-based
+  Bernoulli keeps the decision deterministic and cluster-stable (no RNG
+  state, no partition-order dependence).
+- Token-budget sharding — packing documents into fixed-token shards is
+  the standard pre-training layout (GPT-NeoX / Megatron data loaders).
+
+Scale notes (100 TB):
+- Decontamination: the eval side of the overlap join is SMALL by nature
+  (benchmarks are MBs against a 100 TB train side) — it is deduped to
+  distinct n-grams and broadcast, so the train side is one scan + one
+  narrow (doc_id)-keyed aggregation; n-gram strings never enter an
+  exchange.
+- Line dedup: the line-frequency table is keyed by xxhash64(line) — a
+  fixed-width shuffle key; map-side partial aggregation collapses the
+  Zipf head (the very boilerplate being hunted repeats inside every
+  partition) before the exchange. The frequency survivors join back
+  broadcast. A 64-bit key collision (birthday bound ~1e-4 at 10^8
+  distinct lines) can only over-drop one extra line; CCNet itself dedups
+  on 64-bit hashes.
+- Mixture sampling: pure codegen row predicate (multiplicative hash,
+  integer compare) + one aggregation keyed by source — no data movement
+  beyond the per-source count.
+- Sharding: a naive global cumulative sum is a single-partition window —
+  a scale-killer. This module uses the two-pass prefix-sum: per-bucket
+  subtotals (tiny table, one row per `bucket_docs` documents), a
+  cumulative offset over THAT table only, broadcast back, then the
+  running sum windows partition-parallel WITHIN buckets. At 10^10 docs
+  and bucket_docs=10^6 the sequential structure is 10^4 rows.
+
+The reference has no corpus-level curation at all (it appends rows to
+per-site CSVs, crawler_schedule.py:150-179); this module is engine-added
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .webquality import tokens
+
+# Shared with webquality/textstats and every DuckDB oracle: \w+ tokens.
+
+
+def ngram_set(toks: Column, n: int) -> Column:
+    """Distinct space-joined n-grams of adjacent tokens; empty below n."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.get(toks, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate_profile(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-3-style n-gram-overlap decontamination (arXiv:2005.14165 App C,
+    re-expressed): flag every training document sharing at least one
+    token n-gram with the evaluation set.
+
+    Returns (doc_id, n_contam_grams, contaminated) for EVERY train doc —
+    n_contam_grams counts the distinct eval n-grams the doc contains.
+
+    Plan shape: eval n-grams are deduped (eval sets are MBs vs a 100 TB
+    train side) and broadcast into the train-side gram explode; the only
+    exchange after the scan is the (doc_id)-keyed count — gram strings
+    never shuffle.
+    """
+    eg = (
+        evalset.select(
+            F.explode(ngram_set(tokens(F.col(text_col)), n)).alias("gram")
+        )
+        .distinct()
+    )
+    tg = train.select(
+        F.col(id_col), F.explode(ngram_set(tokens(F.col(text_col)), n)).alias("gram")
+    )
+    # per-doc grams are distinct already (array_distinct) ⇒ count(*) after
+    # the semi-ish inner join counts distinct matched grams
+    hits = (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contam_grams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contam_grams", F.lit(0)).cast("long").alias(
+                "n_contam_grams"
+            ),
+            (F.coalesce("n_contam_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style cross-document line dedup (arXiv:1911.00359 §3.1,
+    re-expressed): split each document into lines, count how many
+    DISTINCT documents each line occurs in, drop lines present in
+    ≥ min_docs documents (boilerplate: nav bars, cookie banners, footers),
+    and reconstruct the surviving text in original line order.
+
+    Returns (doc_id, n_lines, n_kept, text_clean) for EVERY input doc;
+    a fully-boilerplate doc survives with n_kept=0 and text_clean=''.
+
+    Plan shape: the frequency aggregation is keyed by xxhash64(line)
+    (fixed-width exchange; map-side partial agg collapses repeated
+    boilerplate before the shuffle — the hot key IS the target). Only
+    hashes with n_docs ≥ min_docs survive the HAVING, so the join back is
+    a broadcast against a small boilerplate table; reconstruction is one
+    (doc_id)-keyed aggregation.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy(F.xxhash64("line").alias("lh"))
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("lh")
+    )
+    kept = lines.join(
+        F.broadcast(boiler), F.xxhash64(lines["line"]) == F.col("lh"), "left_anti"
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+# 16-bit multiplicative (Knuth) hash — small enough that doc_id * MULT
+# stays inside int64 for any realistic doc_id, identical arithmetic in
+# Spark longs and DuckDB BIGINTs (the point: the oracle reproduces the
+# sampling decision exactly, unlike engine-private xxhash64/random()).
+_MIX_MULT = 40503
+_MIX_MOD = 65536
+
+
+def mixture_rate_permille(source_num: Column) -> Column:
+    """Deterministic per-source target rate in 20ths: (5 + (k*7) mod 16)/20
+    ∈ [0.25, 1.0] — a stand-in for the hand-tuned per-source weights of a
+    real data recipe, chosen to be reproducible in ANSI SQL."""
+    return (F.lit(5) + (source_num * 7) % 16).cast("long")
+
+
+def mixture_sample_profile(
+    df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """Hash-based Bernoulli mixture sampling by source (the deterministic
+    form of the per-source sampling every published LLM data recipe uses):
+    keep doc iff (doc_id * 40503) mod 65536 < rate_20ths * 65536 / 20,
+    i.e. `h * 20 < rate_20ths * 65536` in exact integer arithmetic.
+
+    Returns the per-source audit table
+    (source, target_rate, n_total, n_kept, realized_rate) — the thing a
+    pipeline operator actually inspects before a 100 TB run. The keep
+    decision itself is a codegen row predicate usable as a filter.
+    """
+    k = F.regexp_extract(F.col(source_col), r"(\d+)$", 1).cast("long")
+    rate20 = mixture_rate_permille(k)
+    h = (F.col(id_col) * _MIX_MULT) % _MIX_MOD
+    keep = (h * 20) < (rate20 * _MIX_MOD)
+    return (
+        df.select(
+            F.col(source_col),
+            rate20.alias("_r20"),
+            keep.cast("long").alias("_keep"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.round(F.first("_r20") / 20.0, 6).alias("target_rate"),
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("_keep").cast("long").alias("n_kept"),
+            F.round(F.sum("_keep") / F.count("*"), 6).alias("realized_rate"),
+        )
+    )
+
+
+def token_budget_shards(
+    df: DataFrame,
+    budget: int = 2000,
+    bucket_docs: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents (in id order) to fixed-token-budget output shards —
+    the pre-training shard layout (GPT-NeoX / Megatron data loaders):
+    shard_id = floor(start_offset / budget) where start_offset is the
+    running token total BEFORE the document.
+
+    A naive `sum() over (order by id)` is a single-partition window — a
+    scale-killer at 10^10 docs. This is the two-pass distributed prefix
+    sum: (1) per-bucket token subtotals (bucket = id div bucket_docs — one
+    row per bucket_docs docs), (2) exclusive cumulative offsets over that
+    TINY table (the only sequential window, 10^4 rows at 10^10 docs with
+    bucket_docs=10^6), (3) broadcast the offsets back and run the running
+    sum partition-parallel WITHIN each bucket. Result is identical to the
+    global window (the oracle states it that way).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        (F.col(id_col) - F.col(id_col) % bucket_docs).alias("_bucket"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    subtotals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bt"))
+    w_buckets = (
+        Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = subtotals.select(
+        "_bucket", F.coalesce(F.sum("_bt").over(w_buckets), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offsets), "_bucket")
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                (F.col("_off") + F.sum("n_tokens").over(w_in) - F.col("n_tokens"))
+                / budget
+            )
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
