@@ -906,6 +906,32 @@ def q44_token_shards(spark, sf):
     )
 
 
+def q45_curation_pipeline(spark, sf):
+    """End-to-end curation pipeline — the composition a 100 TB run
+    actually executes, as ONE Catalyst plan: C4 document gate (row-local,
+    fused into the scan) → mixture-sampling keep predicate (row-local,
+    fused into the same filter) → benchmark decontamination (left_anti
+    against the broadcast contaminated-id set) → token-budget shard
+    assignment over the survivors (two-pass prefix sum). One scan of the
+    corpus for the survivor side; the only exchanges are the tiny
+    contamination count and the shard machinery's bucket aggregates
+    (operators/webquality.py c4_filter, operators/curation.py)."""
+    from politics_crawler_spark.operators.curation import (
+        contaminated_ids,
+        mixture_keep,
+        token_budget_shards,
+    )
+    from politics_crawler_spark.operators.webquality import c4_filter
+
+    d = _t(spark, sf, "documents")
+    surv = c4_filter(d).filter(
+        mixture_keep(F.col("doc_id"), F.col("source"))
+    )
+    contam = contaminated_ids(d, d.filter(F.col("doc_id") % 19 == 0), n=8)
+    clean = surv.join(F.broadcast(contam), "doc_id", "left_anti")
+    return token_budget_shards(clean, budget=500, bucket_docs=100)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -952,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_line_dedup": q42_line_dedup,
         "q43_mixture_sample": q43_mixture_sample,
         "q44_token_shards": q44_token_shards,
+        "q45_curation_pipeline": q45_curation_pipeline,
     }
 
 
@@ -1515,4 +1542,53 @@ def oracle_sql() -> dict[str, str]:
                          - n_tokens) // 2000 AS BIGINT) AS shard_id
             FROM t
         """,
+        "q45_curation_pipeline": r"""
+            WITH toks AS (
+                SELECT doc_id, source, regexp_extract_all(text, '\w+') AS t,
+                       len(regexp_extract_all(lower(text), '\b%EN%\b')) > 0
+                           AS ok_stop
+                FROM documents
+            ),
+            gate AS (
+                SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+                WHERE len(t) >= 20
+                  AND coalesce(list_max(list_transform(t, x -> length(x))), 0)
+                      <= 30
+                  AND round(CASE WHEN len(t) > 0
+                        THEN len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                             / CAST(len(t) AS DOUBLE)
+                        ELSE 0.0 END, 6) >= 0.8
+                  AND ok_stop
+                  AND ((doc_id * 40503) % 65536) * 20
+                      < (5 + (CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT)
+                              * 7) % 16) * 65536
+            ),
+            g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(t) - 6),
+                           i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                                          t[i+4], t[i+5], t[i+6], t[i+7]))) AS grams
+                FROM toks WHERE len(t) >= 8
+            ),
+            eg AS (
+                SELECT DISTINCT gram FROM (
+                    SELECT unnest(grams) AS gram FROM g WHERE doc_id % 19 = 0
+                )
+            ),
+            contam AS (
+                SELECT DISTINCT tg.doc_id FROM (
+                    SELECT doc_id, unnest(grams) AS gram FROM g
+                ) tg JOIN eg USING (gram)
+            ),
+            surv AS (
+                SELECT doc_id, n_tokens FROM gate
+                WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+            )
+            SELECT doc_id, n_tokens,
+                   CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) // 500 AS BIGINT) AS shard_id
+            FROM surv
+        """.replace("%EN%", _EN),
     }

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q42_line_dedup",
     "q43_mixture_sample",
     "q44_token_shards",
+    "q45_curation_pipeline",
 ]
 
 

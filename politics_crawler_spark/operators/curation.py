@@ -72,6 +72,49 @@ def ngram_set(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _contamination_hits(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(id, n_contam_grams) for train docs with ≥1 eval n-gram — the
+    shared core of decontaminate_profile and contaminated_ids."""
+    # tokenize behind a projection boundary FIRST: ngram_set references its
+    # input once per gram position, and CollapseProject would otherwise
+    # re-embed (and re-run) the tokenizing regexp_extract_all at every one
+    # of those references — measured best-trial 20.7 s → 2.8 s at sf0.1
+    # (same fix as webquality.bigram_array)
+    eg = (
+        evalset.select(tokens(F.col(text_col)).alias("_t"))
+        .select(F.explode(ngram_set(F.col("_t"), n)).alias("gram"))
+        .distinct()
+    )
+    tg = train.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(F.col(id_col), F.explode(ngram_set(F.col("_t"), n)).alias("gram"))
+    # per-doc grams are distinct already (array_distinct) ⇒ count(*) after
+    # the semi-ish inner join counts distinct matched grams
+    return (
+        tg.join(F.broadcast(eg), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contam_grams"))
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Just the ids to drop — the form a pipeline left_anti-joins against
+    (broadcast: contaminated sets are bounded by the eval set's reach)."""
+    return _contamination_hits(train, evalset, n, id_col, text_col).select(id_col)
+
+
 def decontaminate_profile(
     train: DataFrame,
     evalset: DataFrame,
@@ -91,22 +134,7 @@ def decontaminate_profile(
     exchange after the scan is the (doc_id)-keyed count — gram strings
     never shuffle.
     """
-    eg = (
-        evalset.select(
-            F.explode(ngram_set(tokens(F.col(text_col)), n)).alias("gram")
-        )
-        .distinct()
-    )
-    tg = train.select(
-        F.col(id_col), F.explode(ngram_set(tokens(F.col(text_col)), n)).alias("gram")
-    )
-    # per-doc grams are distinct already (array_distinct) ⇒ count(*) after
-    # the semi-ish inner join counts distinct matched grams
-    hits = (
-        tg.join(F.broadcast(eg), "gram")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contam_grams"))
-    )
+    hits = _contamination_hits(train, evalset, n, id_col, text_col)
     return (
         train.select(id_col)
         .join(hits, id_col, "left")
@@ -192,6 +220,15 @@ def mixture_rate_permille(source_num: Column) -> Column:
     return (F.lit(5) + (source_num * 7) % 16).cast("long")
 
 
+def mixture_keep(id_col: Column, source_col: Column) -> Column:
+    """Row-local keep predicate: (id*40503) mod 65536 under the source's
+    target rate, exact integer arithmetic (reproducible in ANSI SQL, no
+    RNG state, no partition-order dependence). Fuses into any scan."""
+    k = F.regexp_extract(source_col, r"(\d+)$", 1).cast("long")
+    h = (id_col * _MIX_MULT) % _MIX_MOD
+    return (h * 20) < (mixture_rate_permille(k) * _MIX_MOD)
+
+
 def mixture_sample_profile(
     df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
 ) -> DataFrame:
@@ -207,8 +244,7 @@ def mixture_sample_profile(
     """
     k = F.regexp_extract(F.col(source_col), r"(\d+)$", 1).cast("long")
     rate20 = mixture_rate_permille(k)
-    h = (F.col(id_col) * _MIX_MULT) % _MIX_MOD
-    keep = (h * 20) < (rate20 * _MIX_MOD)
+    keep = mixture_keep(F.col(id_col), F.col(source_col))
     return (
         df.select(
             F.col(source_col),

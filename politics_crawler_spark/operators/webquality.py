@@ -205,6 +205,37 @@ def c4_doc_gate(
     )
 
 
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_word_len: int = 30,
+    min_alpha_frac: float = 0.8,
+) -> DataFrame:
+    """Filter form of the q38 gate for pipeline composition: returns the
+    input rows (all columns) that pass, evaluated ROW-LOCALLY so Catalyst
+    fuses it into the scan — no join back, no second read of a 100 TB
+    table. Tokenization happens once behind a projection boundary (same
+    CollapseProject note as c4_doc_gate)."""
+    pat = r"\b(" + "|".join(EN_STOP) + r")\b"
+    toked = df.withColumns(
+        {
+            "_t": tokens(F.col(text_col)),
+            "_stop": F.size(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pat), 0)
+            )
+            > 0,
+        }
+    )
+    t = F.col("_t")
+    return toked.filter(
+        (F.size(t) >= min_words)
+        & (max_word_length(t) <= max_word_len)
+        & (F.round(alpha_word_fraction(t), 6) >= min_alpha_frac)
+        & F.col("_stop")
+    ).drop("_t", "_stop")
+
+
 def redact_pii(text: Column) -> Column:
     """Replace emails then phone numbers with typed placeholder tags.
     Both patterns live in the RE2 ∩ Java common dialect so the DuckDB

@@ -140,3 +140,80 @@ def test_token_budget_shards_monotone_and_bounded(spark):
     from collections import Counter
 
     assert set(Counter(shards).values()) == {5}
+
+
+def test_c4_filter_matches_gate_keep_set(spark):
+    from politics_crawler_spark.operators.webquality import c4_doc_gate, c4_filter
+
+    rows = [
+        (i, "src1", "the quick brown fox jumps over a lazy dog again and " * 3)
+        for i in range(10)
+    ] + [
+        (10, "src1", "no stop word here"),               # fails stopword+len
+        (11, "src1", "x" * 40 + " the " + "word " * 25),  # giant token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    gate_ids = {
+        r["doc_id"] for r in c4_doc_gate(df).collect() if r["keep"]
+    }
+    filt = c4_filter(df)
+    assert set(filt.columns) == {"doc_id", "source", "text"}  # passthrough
+    assert {r["doc_id"] for r in filt.collect()} == gate_ids
+
+
+def test_mixture_keep_matches_profile(spark):
+    from politics_crawler_spark.operators.curation import (
+        mixture_keep,
+        mixture_sample_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(400)],
+        "doc_id long, source string",
+    )
+    kept = df.filter(mixture_keep(F.col("doc_id"), F.col("source")))
+    by_src = {
+        r["source"]: r["n_kept"] for r in mixture_sample_profile(df).collect()
+    }
+    got = {
+        r["source"]: r["cnt"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    for src, n in by_src.items():
+        assert got.get(src, 0) == n
+
+
+def test_curation_pipeline_invariants(spark):
+    import __spark_entry__ as E
+    from politics_crawler_spark.operators.curation import (
+        contaminated_ids,
+        mixture_keep,
+    )
+    from politics_crawler_spark.operators.webquality import c4_doc_gate
+
+    sf = "/root/testdata/sf0.001"
+    out = sorted(
+        E.queries()["q45_curation_pipeline"](spark, sf).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert out, "pipeline should keep a non-degenerate survivor set"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    gate_ids = {r["doc_id"] for r in c4_doc_gate(d).collect() if r["keep"]}
+    mix_ids = {
+        r["doc_id"]
+        for r in d.filter(mixture_keep(F.col("doc_id"), F.col("source"))).collect()
+    }
+    contam = {
+        r["doc_id"]
+        for r in contaminated_ids(
+            d, d.filter(F.col("doc_id") % 19 == 0), n=8
+        ).collect()
+    }
+    ids = [r["doc_id"] for r in out]
+    assert set(ids) <= gate_ids and set(ids) <= mix_ids
+    assert not (set(ids) & contam)
+    # shards: monotone in doc order and consistent with the running total
+    cum = 0
+    for r in out:
+        assert r["shard_id"] == cum // 500
+        cum += r["n_tokens"]
