@@ -932,6 +932,72 @@ def q45_curation_pipeline(spark, sf):
     return token_budget_shards(clean, budget=500, bucket_docs=100)
 
 
+def q46_lm_score_buckets(spark, sf):
+    """CCNet-style unigram-LM quality scoring (arXiv:1911.00359 §3.3,
+    re-expressed): train a Laplace-smoothed unigram model on the corpus
+    (one token-keyed aggregation), score every document with mean token
+    surprisal (bits/token = log2 perplexity), and bucket head/middle/tail
+    at fixed thresholds (CCNet uses per-language constants; the
+    thresholds are row-local so bucketing fuses into the scan — no global
+    quantile sort). LM broadcast; only exchange after the token explode
+    is the (doc_id)-keyed mean (operators/corpus_quality.py)."""
+    from politics_crawler_spark.operators.corpus_quality import (
+        ccnet_bucket,
+        lm_score,
+        unigram_lm,
+    )
+
+    d = _t(spark, sf, "documents")
+    lm = unigram_lm(d)
+    scored = lm_score(d, lm)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "bits_per_token",
+        ccnet_bucket(F.col("bits_per_token"), 4.905, 4.912).alias("bucket"),
+    )
+
+
+def q47_dup_ngram_coverage(spark, sf):
+    """Cross-document duplicated-n-gram coverage (Gopher arXiv:2112.11446
+    A1.1 / Dolma, re-expressed): fraction of each doc's token positions
+    covered by a 5-gram occurring in ≥2 distinct documents, plus the
+    integer-exact keep gate (covered ≤ half the tokens). Gram occurrences
+    keyed by xxhash64 — 8-byte exchange keys, gram strings never shuffle;
+    the dup set joins back by shuffle equi-join (NOT broadcast — at
+    100 TB boilerplate grams are legion) (operators/corpus_quality.py)."""
+    from politics_crawler_spark.operators.corpus_quality import dup_ngram_coverage
+
+    d = _t(spark, sf, "documents")
+    cov = dup_ngram_coverage(d, n=5, min_docs=2)
+    return cov.select(
+        "doc_id",
+        "n_tokens",
+        "n_covered",
+        "dup_coverage",
+        (F.col("n_covered") * 2 <= F.col("n_tokens")).alias("keep"),
+    )
+
+
+def q48_source_quality_gate(spark, sf):
+    """Source-level aggregate quality gate (RefinedWeb arXiv:2306.01116 /
+    Dolma domain filtering, re-expressed): judge each source on its MEAN
+    document quality (punctuation + stopword-fluency ratios), keep only
+    sources with ≥5 docs, mean punct ≤0.05, mean stopword ratio ≥0.06 —
+    the stage that drops whole spam domains whose individual pages pass
+    per-document gates. One aggregation keyed by source (one row per
+    domain); the keep set broadcast-joins back to gate rows
+    (operators/corpus_quality.py)."""
+    from politics_crawler_spark.operators.corpus_quality import (
+        source_quality_profile,
+    )
+
+    d = _t(spark, sf, "documents")
+    return source_quality_profile(
+        d, min_docs=5, max_mean_punct=0.05, min_mean_stop=0.06
+    ).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -979,6 +1045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_mixture_sample": q43_mixture_sample,
         "q44_token_shards": q44_token_shards,
         "q45_curation_pipeline": q45_curation_pipeline,
+        "q46_lm_score_buckets": q46_lm_score_buckets,
+        "q47_dup_ngram_coverage": q47_dup_ngram_coverage,
+        "q48_source_quality_gate": q48_source_quality_gate,
     }
 
 
@@ -1590,5 +1659,81 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                          - n_tokens) // 500 AS BIGINT) AS shard_id
             FROM surv
+        """.replace("%EN%", _EN),
+        "q46_lm_score_buckets": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS tok
+                FROM documents
+            ),
+            cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+            scored AS (
+                SELECT t.doc_id,
+                       count(*) AS n_tokens,
+                       avg(-log2((cnt.c + 1.0) / (tot.n + tot.v))) AS bpt
+                FROM tok t JOIN cnt USING (tok) CROSS JOIN tot
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   round(coalesce(s.bpt, 0.0), 6) AS bits_per_token,
+                   CASE WHEN round(coalesce(s.bpt, 0.0), 6) < 4.905 THEN 'head'
+                        WHEN round(coalesce(s.bpt, 0.0), 6) < 4.912 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "q47_dup_ngram_coverage": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\w+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i.i AS gpos,
+                       array_to_string(toks[i.i + 1 : i.i + 5], ' ') AS gram
+                FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - 5)) AS i) i
+                WHERE len(toks) >= 5
+            ),
+            dupg AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+                SELECT DISTINCT g.doc_id, p.p
+                FROM g JOIN dupg USING (gram),
+                     LATERAL (SELECT unnest(generate_series(g.gpos, g.gpos + 4)) AS p) p
+            ),
+            percov AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.n_cov, 0) AS BIGINT) AS n_covered,
+                   round(CASE WHEN len(t.toks) > 0
+                         THEN coalesce(p.n_cov, 0) / CAST(len(t.toks) AS DOUBLE)
+                         ELSE 0.0 END, 6) AS dup_coverage,
+                   coalesce(p.n_cov, 0) * 2 <= len(t.toks) AS keep
+            FROM t LEFT JOIN percov p USING (doc_id)
+        """,
+        "q48_source_quality_gate": r"""
+            WITH stats AS (
+                SELECT source,
+                       CASE WHEN length(text) > 0
+                            THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                 / CAST(length(text) AS DOUBLE)
+                            ELSE 0.0 END AS p,
+                       CASE WHEN len(regexp_extract_all(text, '\w+')) > 0
+                            THEN len(regexp_extract_all(lower(text), '\b%EN%\b'))
+                                 / CAST(len(regexp_extract_all(text, '\w+')) AS DOUBLE)
+                            ELSE 0.0 END AS s
+                FROM documents
+            ),
+            prof AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       round(avg(p), 6) AS mean_punct,
+                       round(avg(s), 6) AS mean_stop
+                FROM stats GROUP BY source
+            )
+            SELECT source, n_docs, mean_punct, mean_stop,
+                   n_docs >= 5 AND mean_punct <= 0.05 AND mean_stop >= 0.06
+                       AS keep_source
+            FROM prof ORDER BY source
         """.replace("%EN%", _EN),
     }

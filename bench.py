@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "q43_mixture_sample",
     "q44_token_shards",
     "q45_curation_pipeline",
+    "q46_lm_score_buckets",
+    "q47_dup_ngram_coverage",
+    "q48_source_quality_gate",
 ]
 
 

@@ -1,0 +1,182 @@
+"""Corpus-statistical quality operators (operators/corpus_quality.py):
+exact values on hand-computable documents. Oracle parity at sf0.01 rides
+tools/check_oracle.py (q46–q48)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_lm_exact_probs(spark):
+    from politics_crawler_spark.operators.corpus_quality import unigram_lm
+
+    # corpus tokens: a a a b b c  -> N=6, V=3
+    d = _docs(spark, [(0, "a a a"), (1, "b b c")])
+    lm = {r["tok"]: r for r in unigram_lm(d).collect()}
+    assert set(lm) == {"a", "b", "c"}
+    assert lm["a"]["c"] == 3 and lm["b"]["c"] == 2 and lm["c"]["c"] == 1
+    # Laplace: p(a)=(3+1)/(6+3), p(c)=(1+1)/9
+    assert lm["a"]["logp"] == pytest.approx(math.log2(4 / 9))
+    assert lm["c"]["logp"] == pytest.approx(math.log2(2 / 9))
+
+
+def test_lm_score_mean_surprisal_and_empty_doc(spark):
+    from politics_crawler_spark.operators.corpus_quality import (
+        lm_score,
+        unigram_lm,
+    )
+
+    d = _docs(spark, [(0, "a a a"), (1, "b b c"), (2, "")])
+    lm = unigram_lm(d)
+    out = {r["doc_id"]: r for r in lm_score(d, lm).collect()}
+    assert len(out) == 3  # every doc survives, including the empty one
+    # doc0 = 3 tokens of 'a': bits = -log2(4/9)
+    assert out[0]["bits_per_token"] == pytest.approx(
+        round(-math.log2(4 / 9), 6)
+    )
+    # doc1 = mean of two 'b' and one 'c' surprisals
+    expect = -(2 * math.log2(3 / 9) + math.log2(2 / 9)) / 3
+    assert out[1]["bits_per_token"] == pytest.approx(round(expect, 6))
+    assert out[2]["n_tokens"] == 0 and out[2]["bits_per_token"] == 0.0
+
+
+def test_lm_score_oov_floor_with_vocab_cap(spark):
+    from politics_crawler_spark.operators.corpus_quality import (
+        lm_score,
+        oov_logp,
+        unigram_lm,
+    )
+
+    train = _docs(spark, [(0, "a a a b b c")])  # N=6, V=3
+    lm = unigram_lm(train, max_vocab=2)  # keeps a(3), b(2); drops c
+    assert {r["tok"] for r in lm.select("tok").collect()} == {"a", "b"}
+    # N/V metadata must still reflect the FULL vocab (cap never changes
+    # in-vocab probabilities)
+    assert oov_logp(lm) == pytest.approx(math.log2(1 / 9))
+    out = {r["doc_id"]: r for r in lm_score(train, lm).collect()}
+    # 'c' now scores at the floor 1/(N+V); a and b unchanged
+    expect = -(
+        3 * math.log2(4 / 9) + 2 * math.log2(3 / 9) + math.log2(1 / 9)
+    ) / 6
+    assert out[0]["bits_per_token"] == pytest.approx(round(expect, 6))
+
+
+def test_ccnet_bucket_thresholds(spark):
+    from politics_crawler_spark.operators.corpus_quality import ccnet_bucket
+
+    df = spark.range(1).select(
+        ccnet_bucket(F.lit(1.0), 2.0, 3.0).alias("h"),
+        ccnet_bucket(F.lit(2.5), 2.0, 3.0).alias("m"),
+        ccnet_bucket(F.lit(3.0), 2.0, 3.0).alias("t"),
+    )
+    r = df.first()
+    assert (r["h"], r["m"], r["t"]) == ("head", "middle", "tail")
+
+
+def test_dup_ngram_coverage_exact(spark):
+    from politics_crawler_spark.operators.corpus_quality import (
+        dup_ngram_coverage,
+    )
+
+    # docs 0 and 1 share the 3-gram 'a b c' (cross-doc dup); doc 2 is
+    # clean; doc 3 too short for any 3-gram.
+    d = _docs(
+        spark,
+        [
+            (0, "a b c x y"),        # gram 'a b c' dup -> covers pos 0,1,2
+            (1, "z a b c"),          # covers pos 1,2,3
+            (2, "p q r s t"),        # no dup gram
+            (3, "u v"),              # shorter than n
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in dup_ngram_coverage(d, n=3, min_docs=2).collect()
+    }
+    assert len(out) == 4
+    assert out[0]["n_covered"] == 3 and out[0]["dup_coverage"] == 0.6
+    assert out[1]["n_covered"] == 3 and out[1]["dup_coverage"] == 0.75
+    assert out[2]["n_covered"] == 0 and out[2]["dup_coverage"] == 0.0
+    assert out[3]["n_tokens"] == 2 and out[3]["n_covered"] == 0
+
+
+def test_dup_ngram_coverage_overlapping_spans_dedup(spark):
+    from politics_crawler_spark.operators.corpus_quality import (
+        dup_ngram_coverage,
+    )
+
+    # 'a b c d' appears in both docs: doc0 has overlapping dup grams
+    # 'a b c' and 'b c d' -> covered positions {0,1,2,3} counted ONCE.
+    d = _docs(spark, [(0, "a b c d e"), (1, "x a b c d")])
+    out = {
+        r["doc_id"]: r for r in dup_ngram_coverage(d, n=3, min_docs=2).collect()
+    }
+    assert out[0]["n_covered"] == 4 and out[0]["dup_coverage"] == 0.8
+
+
+def test_dup_ngram_min_docs_counts_distinct_docs(spark):
+    from politics_crawler_spark.operators.corpus_quality import (
+        dup_ngram_coverage,
+    )
+
+    # 'a b c' occurs twice WITHIN doc 0 but in no other doc: with
+    # min_docs=2 the within-doc repeat is NOT cross-document duplication.
+    d = _docs(spark, [(0, "a b c z a b c"), (1, "p q r s")])
+    out = {
+        r["doc_id"]: r for r in dup_ngram_coverage(d, n=3, min_docs=2).collect()
+    }
+    assert out[0]["n_covered"] == 0
+
+
+def test_source_quality_profile_and_gate(spark):
+    from politics_crawler_spark.operators.corpus_quality import (
+        source_gate,
+        source_quality_profile,
+    )
+
+    rows = []
+    # good source: 3 docs, fluent (stopword 'the' present), no punct
+    for i in range(3):
+        rows.append((i, "the quick brown fox jumps over the lazy dog", "good"))
+    # spammy source: 3 docs, zero stopwords
+    for i in range(3, 6):
+        rows.append((i, "buy cheap pills buy cheap pills", "spam"))
+    # tiny source: fluent but below min_docs
+    rows.append((6, "the cat sat on the mat", "tiny"))
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    prof = source_quality_profile(
+        d, min_docs=2, max_mean_punct=0.05, min_mean_stop=0.1
+    )
+    p = {r["source"]: r for r in prof.collect()}
+    assert p["good"]["keep_source"] is True
+    assert p["spam"]["keep_source"] is False  # mean_stop = 0
+    assert p["tiny"]["keep_source"] is False  # n_docs < min_docs
+    # 'the' is 2 of 9 tokens
+    assert p["good"]["mean_stop"] == pytest.approx(round(2 / 9, 6))
+    kept = source_gate(d, prof)
+    assert {r["source"] for r in kept.collect()} == {"good"}
+    assert kept.count() == 3
+
+
+def test_source_gate_plan_is_broadcast(spark):
+    from politics_crawler_spark.operators.corpus_quality import (
+        source_gate,
+        source_quality_profile,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "the a", "s")], "doc_id long, text string, source string"
+    )
+    plan = (
+        source_gate(d, source_quality_profile(d))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
