@@ -998,6 +998,23 @@ def q48_source_quality_gate(spark, sf):
     ).orderBy("source")
 
 
+def q49_drop_dup_spans(spark, sf):
+    """Cross-document duplicated-span REMOVAL with text rebuild — the
+    transform counterpart of q47 (C4's duplicated-span discard rule,
+    arXiv:1910.10683 §2.2; Lee et al. exact substring dedup,
+    arXiv:2107.06499, at token-window granularity): drop every token
+    position covered by a 5-gram occurring in ≥2 distinct documents,
+    rebuild the surviving text in original token order. Covered
+    positions from the shared xxhash64-keyed machinery; the rebuild is
+    one (doc_id)-keyed aggregation (operators/corpus_quality.py)."""
+    from politics_crawler_spark.operators.corpus_quality import (
+        drop_dup_ngram_spans,
+    )
+
+    d = _t(spark, sf, "documents")
+    return drop_dup_ngram_spans(d, n=5, min_docs=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -1048,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_lm_score_buckets": q46_lm_score_buckets,
         "q47_dup_ngram_coverage": q47_dup_ngram_coverage,
         "q48_source_quality_gate": q48_source_quality_gate,
+        "q49_drop_dup_spans": q49_drop_dup_spans,
     }
 
 
@@ -1736,4 +1754,45 @@ def oracle_sql() -> dict[str, str]:
                        AS keep_source
             FROM prof ORDER BY source
         """.replace("%EN%", _EN),
+        "q49_drop_dup_spans": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\w+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i.i AS gpos,
+                       array_to_string(toks[i.i + 1 : i.i + 5], ' ') AS gram
+                FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - 5)) AS i) i
+                WHERE len(toks) >= 5
+            ),
+            dupg AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+                SELECT DISTINCT g.doc_id, p.p
+                FROM g JOIN dupg USING (gram),
+                     LATERAL (SELECT unnest(generate_series(g.gpos, g.gpos + 4)) AS p) p
+            ),
+            pos AS (
+                SELECT t.doc_id, u.p AS p, toks[u.p + 1] AS tok
+                FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - 1)) AS p) u
+                WHERE len(toks) > 0
+            ),
+            kept AS (
+                SELECT pos.doc_id, pos.p, pos.tok
+                FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                WHERE cov.p IS NULL
+            ),
+            reb AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY p) AS text_clean
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(reb.text_clean, '') AS text_clean
+            FROM t LEFT JOIN reb USING (doc_id)
+        """,
     }

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q46_lm_score_buckets",
     "q47_dup_ngram_coverage",
     "q48_source_quality_gate",
+    "q49_drop_dup_spans",
 ]
 
 

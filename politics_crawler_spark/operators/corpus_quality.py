@@ -163,6 +163,28 @@ def lm_score(
     )
 
 
+def suggest_ccnet_thresholds(
+    scored: DataFrame,
+    fracs: tuple[float, float] = (1 / 3, 2 / 3),
+    accuracy: int = 10000,
+    bits_col: str = "bits_per_token",
+) -> tuple[float, float]:
+    """Bootstrap (head, middle) cut points for ccnet_bucket from the
+    corpus's own score distribution WITHOUT a global sort:
+    percentile_approx is a mergeable per-partition sketch
+    (Greenwald-Khanna) with one tiny final merge — the only way a
+    quantile over 10^10 docs is computable without funnelling the corpus
+    through a single-partition orderBy. CCNet itself uses frozen
+    per-language constants; this helper is for DERIVING those constants
+    on a new corpus. The result is approximate by design (error ≤
+    1/accuracy of rank), so freeze the returned values before using them
+    as the reproducible bucketing contract."""
+    row = scored.select(
+        F.percentile_approx(bits_col, list(fracs), accuracy).alias("q")
+    ).first()
+    return tuple(row["q"])
+
+
 def ccnet_bucket(bits_col: Column, head: float, middle: float) -> Column:
     """CCNet §3.3 bucketing as a row-local predicate: fixed thresholds
     (CCNet uses per-language constants from its trained LM), so the
@@ -180,24 +202,19 @@ def ccnet_bucket(bits_col: Column, head: float, middle: float) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def dup_ngram_coverage(
-    df: DataFrame,
-    n: int = 5,
-    min_docs: int = 2,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _covered_positions(
+    df: DataFrame, n: int, min_docs: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """Fraction of each document's token positions covered by at least one
-    n-gram that occurs in ≥ min_docs DISTINCT documents — the
-    cross-document duplicated-n-gram signal Gopher/Dolma gate on.
+    """Distinct (doc_id, p) token positions covered by at least one n-gram
+    occurring in ≥ min_docs DISTINCT documents — the shared core of
+    dup_ngram_coverage (measure) and drop_dup_ngram_spans (transform).
 
-    Returns (doc_id, n_tokens, n_covered, dup_coverage) for EVERY doc.
-
-    Plan shape: grams are keyed by xxhash64 (8-byte exchange keys; the
-    gram strings never shuffle); the duplicated-gram set is joined back
-    by SHUFFLE equi-join on the hash — at 100 TB that set is not
-    broadcast-safe. Covered positions dedup on (doc_id, pos) — fixed
-    width. A hash collision can only over-count coverage (conservative).
+    Grams are keyed by xxhash64 (8-byte exchange keys; the gram strings
+    never shuffle); the duplicated-gram set is joined back by SHUFFLE
+    equi-join on the hash — at 100 TB that set is not broadcast-safe
+    (AQE still picks broadcast at small scale). Covered positions dedup
+    on (doc_id, pos) — fixed width. A hash collision can only over-count
+    coverage (conservative direction for a removal/filter).
     """
     # project the token array ONCE (CollapseProject would re-embed the
     # tokenizing regexp at every gram position otherwise — the q41/q45
@@ -220,7 +237,7 @@ def dup_ngram_coverage(
         .filter(F.col("nd") >= min_docs)
         .select("gh")
     )
-    covered = (
+    return (
         grams.join(dup, "gh")
         .select(
             F.col(id_col),
@@ -229,6 +246,26 @@ def dup_ngram_coverage(
             ),
         )
         .distinct()
+    )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fraction of each document's token positions covered by at least one
+    n-gram that occurs in ≥ min_docs DISTINCT documents — the
+    cross-document duplicated-n-gram signal Gopher/Dolma gate on.
+
+    Returns (doc_id, n_tokens, n_covered, dup_coverage) for EVERY doc.
+    Plan shape: see _covered_positions; the per-doc rollup adds one more
+    fixed-width (doc_id)-keyed exchange.
+    """
+    covered = (
+        _covered_positions(df, n, min_docs, id_col, text_col)
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_covered"))
     )
@@ -247,6 +284,57 @@ def dup_ngram_coverage(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("dup_coverage"),
+    )
+
+
+def drop_dup_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """REMOVE every token position covered by a cross-document duplicated
+    n-gram and rebuild the text from the survivors — the transform
+    counterpart of dup_ngram_coverage, i.e. the C4 "discard any
+    three-sentence span occurring more than once" rule (arXiv:1910.10683
+    §2.2) and Lee et al.'s exact substring deduplication
+    (arXiv:2107.06499), re-expressed at token-window granularity.
+
+    Returns (doc_id, n_tokens, n_kept, text_clean) for EVERY input doc;
+    a fully-duplicated doc survives with n_kept=0 and text_clean=''.
+
+    Plan shape: covered positions come from _covered_positions (fixed
+    width exchanges throughout); surviving tokens are selected by a
+    left_anti join on (doc_id, pos) and rebuilt with ONE (doc_id)-keyed
+    aggregation carrying each kept token exactly once — the same
+    unavoidable rebuild shuffle as the line-dedup rebuild
+    (operators/curation.py::drop_boilerplate_lines).
+    """
+    cov = _covered_positions(df, n, min_docs, id_col, text_col)
+    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    posr = t.filter(F.size("_t") > 0).select(
+        F.col(id_col), F.posexplode("_t").alias("p", "tok")
+    )
+    kept = posr.join(cov, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("text_clean"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
 
 

@@ -80,6 +80,20 @@ def test_ccnet_bucket_thresholds(spark):
     assert (r["h"], r["m"], r["t"]) == ("head", "middle", "tail")
 
 
+def test_suggest_ccnet_thresholds_near_exact_quantiles(spark):
+    from politics_crawler_spark.operators.corpus_quality import (
+        suggest_ccnet_thresholds,
+    )
+
+    # 3000 known scores 0..2999 -> exact terciles ~999.67 and ~1999.33
+    df = spark.range(3000).select(
+        (F.col("id").cast("double")).alias("bits_per_token")
+    )
+    head, middle = suggest_ccnet_thresholds(df)
+    assert abs(head - 1000) <= 5 and abs(middle - 2000) <= 5
+    assert head < middle
+
+
 def test_dup_ngram_coverage_exact(spark):
     from politics_crawler_spark.operators.corpus_quality import (
         dup_ngram_coverage,
@@ -132,6 +146,55 @@ def test_dup_ngram_min_docs_counts_distinct_docs(spark):
         r["doc_id"]: r for r in dup_ngram_coverage(d, n=3, min_docs=2).collect()
     }
     assert out[0]["n_covered"] == 0
+
+
+def test_drop_dup_ngram_spans_rebuild(spark):
+    from politics_crawler_spark.operators.corpus_quality import (
+        drop_dup_ngram_spans,
+    )
+
+    # 'a b c' is shared -> positions covered in both docs; the rest of
+    # each doc survives in original order.
+    d = _docs(
+        spark,
+        [
+            (0, "x a b c y"),   # drop pos 1-3 -> 'x y'
+            (1, "a b c"),       # fully covered -> ''
+            (2, "p q r"),       # untouched
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in drop_dup_ngram_spans(d, n=3, min_docs=2).collect()
+    }
+    assert len(out) == 3
+    assert out[0]["text_clean"] == "x y" and out[0]["n_kept"] == 2
+    assert out[1]["text_clean"] == "" and out[1]["n_kept"] == 0
+    assert out[2]["text_clean"] == "p q r" and out[2]["n_kept"] == 3
+
+
+def test_drop_spans_consistent_with_coverage(spark):
+    from politics_crawler_spark.operators.corpus_quality import (
+        drop_dup_ngram_spans,
+        dup_ngram_coverage,
+    )
+
+    d = _docs(
+        spark,
+        [
+            (0, "a b c d e f"),
+            (1, "z a b c d w"),
+            (2, "m n o p q"),
+        ],
+    )
+    cov = {r["doc_id"]: r for r in dup_ngram_coverage(d, n=3, min_docs=2).collect()}
+    rem = {r["doc_id"]: r for r in drop_dup_ngram_spans(d, n=3, min_docs=2).collect()}
+    for i in cov:
+        # measure and transform must agree: kept = total - covered
+        assert rem[i]["n_kept"] == cov[i]["n_tokens"] - cov[i]["n_covered"]
+        assert len(rem[i]["text_clean"].split()) == (
+            rem[i]["n_kept"] if rem[i]["n_kept"] else 0
+        )
 
 
 def test_source_quality_profile_and_gate(spark):
