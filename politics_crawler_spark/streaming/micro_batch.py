@@ -130,3 +130,56 @@ def host_fetch_sessions(fetches: DataFrame, gap_s: float = 600.0) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = DOCS_DDL,
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Incremental exact dedup over a GROWING corpus directory: emit each
+    document whose content digest has never been seen in any prior
+    micro-batch OR any prior run — the streaming form of
+    ``operators.dedup.exact_dedup`` for continuous ingestion (new crawl
+    drops land as files; only never-before-seen docs flow to the sink).
+
+    Cross-run continuity is the state store + checkpoint: restarting with
+    the same ``checkpoint_dir`` restores the seen-digest state exactly
+    once (the same guarantee the batch path gets from
+    ``sinks/upsert.py`` + ``streaming/cadence.py`` ``initial_seen``,
+    reference cross-run dedup: crawler_schedule.py:150-179).
+
+    Scale: ``dropDuplicates`` keeps one state row per DISTINCT digest —
+    the key is the fixed-width 32-char md5 (same digest convention as the
+    batch operator so the two paths agree), never the text, so state is
+    ~60 B/distinct doc and partitioned by the state store across
+    executors. State grows with corpus cardinality by design (global
+    dedup has irreducible memory); for bounded-lateness dedup use
+    ``dropDuplicatesWithinWatermark`` instead.
+
+    Returns the StreamingQuery; caller awaits termination.
+    """
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(docs_dir)
+    )
+    deduped = src.withColumn("_digest", F.md5(F.col(text_col))).dropDuplicates(
+        ["_digest"]
+    ).drop("_digest")
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -243,3 +243,53 @@ def test_source_gate_plan_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Property test: Spark span removal vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+def _py_drop_dup_spans(corpus, n, min_docs):
+    """Reference implementation: independent of Spark AND of the DuckDB
+    oracle formulation (direct set arithmetic, no joins)."""
+    toks = {i: t.split() for i, t in corpus}
+    gram_docs = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            gram_docs.setdefault(tuple(ts[p : p + n]), set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= min_docs}
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for p in range(len(ts) - n + 1):
+            if tuple(ts[p : p + n]) in dup:
+                covered.update(range(p, p + n))
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        out[i] = (len(ts), len(kept), " ".join(kept))
+    return out
+
+
+def test_drop_dup_spans_property_matches_python(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from politics_crawler_spark.operators.corpus_quality import (
+        drop_dup_ngram_spans,
+    )
+
+    word = st.sampled_from(list("abcdefg"))  # tiny alphabet -> many dups
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        corpus = list(enumerate(texts))
+        exp = _py_drop_dup_spans(corpus, n=3, min_docs=2)
+        d = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text_clean"])
+            for r in drop_dup_ngram_spans(d, n=3, min_docs=2).collect()
+        }
+        assert got == exp
+
+    run()

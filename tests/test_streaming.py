@@ -225,3 +225,42 @@ def test_job_ticks_drain_with_zero_ticks(tmp_path, capsys):
     ])
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line) == {"last_run": None}
+
+
+def test_stream_exact_dedup_cross_batch_and_cross_run(spark, tmp_path):
+    """Incremental exact dedup: duplicates are suppressed WITHIN a run's
+    batches and ACROSS runs (state restored from checkpoint), and only
+    never-before-seen docs reach the sink on the second run."""
+    from politics_crawler_spark.streaming.micro_batch import (
+        DOCS_DDL,
+        stream_exact_dedup,
+    )
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ck = str(tmp_path / "ck")
+
+    def docs(rows):
+        return spark.createDataFrame(rows, DOCS_DDL)
+
+    # run 1: 10 docs, two of which are exact-text duplicates of others
+    batch1 = [(i, f"text {i % 8}", "en", "s0", 6) for i in range(10)]
+    docs(batch1).write.parquet(src)
+    q = stream_exact_dedup(spark, src, out, ck)
+    q.awaitTermination(300)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 8  # texts 'text 0'..'text 7' once each
+    assert got1.select("text").distinct().count() == 8
+
+    # run 2: a new file with 3 re-crawled duplicates + 4 new docs
+    batch2 = [(100 + i, f"text {i}", "en", "s1", 6) for i in range(3)] + [
+        (200 + i, f"fresh {i}", "en", "s1", 7) for i in range(4)
+    ]
+    docs(batch2).write.mode("append").parquet(src)
+    q2 = stream_exact_dedup(spark, src, out, ck)
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(out)
+    # only the 4 fresh docs were appended; cross-run state killed the rest
+    assert got2.count() == 12
+    assert got2.select("text").distinct().count() == 12
+    assert got2.filter(F.col("text").startswith("fresh")).count() == 4
