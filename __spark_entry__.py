@@ -1015,6 +1015,62 @@ def q49_drop_dup_spans(spark, sf):
     return drop_dup_ngram_spans(d, n=5, min_docs=2)
 
 
+_BM25_QUERIES = [
+    (0, "spark query table"),
+    (1, "fast scan filter"),
+    (2, "stream window agg"),
+]
+
+
+def q50_bm25_search(spark, sf):
+    """BM25 ranked keyword retrieval over the documents corpus (Okapi
+    BM25, Robertson & Walker TREC-3; Lucene's non-negative idf variant)
+    — the inspect/search surface a curation pipeline needs. Corpus-side
+    explode is filtered to query terms before any exchange; corpus
+    scalars ride a broadcast single-row cross join; per-query top-k is a
+    rank-truncated window (WindowGroupLimit partial top-k). The
+    reference has no search surface (operators/retrieval.py)."""
+    from politics_crawler_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    return bm25_topk(d, _BM25_QUERIES, k=10).orderBy("query_id", "rank")
+
+
+def q51_cardinality_contract(spark, sf):
+    """Per-source corpus cardinality monitor with an accuracy CONTRACT:
+    exact doc/token counts plus HyperLogLog++ approximate distinct
+    tokens (Heule et al. 2013 via approx_count_distinct, relative_sd
+    0.01). The sketch estimate cannot be equated to an exact oracle, so
+    the graded row carries `within_tol` — |approx − exact|/exact ≤ 0.05
+    (5σ; HLL++ is deterministic/seed-free) — and the oracle asserts the
+    contract plus the exact counts. The exact distinct here exists only
+    to grade the sketch; at 100 TB only the fixed-width sketch path runs
+    (operators/retrieval.py)."""
+    from politics_crawler_spark.operators.retrieval import cardinality_profile
+
+    d = _t(spark, sf, "documents")
+    prof = cardinality_profile(d, group_col="source", relative_sd=0.01)
+    exact = (
+        d.select("source", F.explode(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).alias("tok"))
+        .groupBy("source")
+        .agg(F.count_distinct("tok").alias("exact_distinct"))
+    )
+    return (
+        prof.join(exact, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.abs(F.col("approx_distinct_tokens") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.05
+            ).alias("within_tol"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_filter_project": q01_filter_project,
@@ -1066,6 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_dup_ngram_coverage": q47_dup_ngram_coverage,
         "q48_source_quality_gate": q48_source_quality_gate,
         "q49_drop_dup_spans": q49_drop_dup_spans,
+        "q50_bm25_search": q50_bm25_search,
+        "q51_cardinality_contract": q51_cardinality_contract,
     }
 
 
@@ -1794,5 +1852,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
                    coalesce(reb.text_clean, '') AS text_clean
             FROM t LEFT JOIN reb USING (doc_id)
+        """,
+        # q50: literal BM25 in SQL — same idf form, same rounding, same
+        # (score DESC, doc_id) tie-break. Query terms mirror
+        # _BM25_QUERIES verbatim.
+        "q50_bm25_search": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents
+            ),
+            stats AS (
+                SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks
+            ),
+            qt AS (
+                SELECT DISTINCT * FROM (VALUES
+                    (0, 'spark'), (0, 'query'), (0, 'table'),
+                    (1, 'fast'), (1, 'scan'), (1, 'filter'),
+                    (2, 'stream'), (2, 'window'), (2, 'agg')
+                ) AS q(query_id, term)
+            ),
+            posting AS (
+                SELECT toks.doc_id, len(toks.t) AS dl, u.term
+                FROM toks, LATERAL (SELECT unnest(t) AS term) u
+            ),
+            p AS (
+                SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+                FROM posting
+                WHERE term IN (SELECT DISTINCT term FROM qt)
+                GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+            scored AS (
+                SELECT qt.query_id, p.doc_id,
+                       round(sum(
+                           ln(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                           * p.tf * (1.2 + 1)
+                           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))
+                       ), 4) AS score
+                FROM p JOIN dft USING (term) JOIN qt USING (term), stats s
+                GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        # q51: the HLL estimate has no SQL equal — the oracle asserts the
+        # CONTRACT (within_tol TRUE) plus the exact doc/token counts.
+        "q51_cardinality_contract": r"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '\w+'))) AS BIGINT)
+                       AS n_tokens,
+                   TRUE AS within_tol
+            FROM documents GROUP BY source ORDER BY source
         """,
     }

@@ -76,6 +76,8 @@ BENCH_QUERIES = [
     "q47_dup_ngram_coverage",
     "q48_source_quality_gate",
     "q49_drop_dup_spans",
+    "q50_bm25_search",
+    "q51_cardinality_contract",
 ]
 
 

@@ -1,0 +1,100 @@
+"""BM25 ranked retrieval + HLL cardinality profile.
+
+The BM25 test corpus is tiny enough that every score is hand-computable:
+idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf term = tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl)).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from politics_crawler_spark.operators.retrieval import (
+    bm25_topk,
+    cardinality_profile,
+)
+
+DOCS = [
+    (0, "spark query engine", "s0"),
+    (1, "spark spark spark planner", "s0"),
+    (2, "query optimizer notes", "s1"),
+    (3, "totally unrelated text here", "s1"),
+    (4, "", "s1"),  # empty doc: counts toward N and avgdl(=0 tokens)
+]
+
+
+def _bm25(tf, df, dl, n_docs, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+
+def _corpus(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "source"])
+
+
+def test_bm25_hand_computed_scores(spark):
+    out = bm25_topk(_corpus(spark), [(0, "spark query")], k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    n, avgdl = 5, (3 + 4 + 3 + 4 + 0) / 5.0
+    # doc 0 matches both terms once, dl=3
+    want0 = round(
+        _bm25(1, 2, 3, n, avgdl) + _bm25(1, 2, 3, n, avgdl), 4
+    )
+    # doc 1: spark×3, dl=4
+    want1 = round(_bm25(3, 2, 4, n, avgdl), 4)
+    # doc 2: query×1, dl=3
+    want2 = round(_bm25(1, 2, 3, n, avgdl), 4)
+    assert rows[0].score == want0
+    assert rows[1].score == want1
+    assert rows[2].score == want2
+    assert set(rows) == {0, 1, 2}  # docs 3, 4 match nothing
+    # ranking: scores descending, ranks 1..3
+    ranked = sorted(rows.values(), key=lambda r: r.rank)
+    assert [r.score for r in ranked] == sorted(
+        [r.score for r in ranked], reverse=True
+    )
+    assert [r.rank for r in ranked] == [1, 2, 3]
+
+
+def test_bm25_multi_query_and_k_truncation(spark):
+    out = bm25_topk(
+        _corpus(spark), [(0, "spark"), (1, "query optimizer")], k=1
+    ).collect()
+    by_q = {r.query_id: r for r in out}
+    assert len(out) == 2  # k=1 truncates each query
+    assert by_q[0].rank == 1
+    # query 1: doc 2 matches both terms, must out-rank single-term docs
+    assert by_q[1].doc_id == 2
+
+
+def test_bm25_duplicate_query_terms_counted_once(spark):
+    once = bm25_topk(_corpus(spark), [(0, "spark")], k=10).collect()
+    twice = bm25_topk(_corpus(spark), [(0, "spark spark")], k=10).collect()
+    assert {(r.doc_id, r.score) for r in once} == {
+        (r.doc_id, r.score) for r in twice
+    }
+
+
+def test_cardinality_profile_exact_small(spark):
+    out = {
+        r.source: r
+        for r in cardinality_profile(_corpus(spark), group_col="source").collect()
+    }
+    assert out["s0"].n_docs == 2 and out["s0"].n_tokens == 7
+    assert out["s1"].n_docs == 3 and out["s1"].n_tokens == 7
+    # HLL is exact at these cardinalities (sparse mode)
+    assert out["s0"].approx_distinct_tokens == 4  # spark query engine planner
+    assert out["s1"].approx_distinct_tokens == 7
+
+
+def test_cardinality_profile_tolerance_at_scale(spark):
+    # 20k distinct tokens in one group: the sketch must land within 5%
+    # at relative_sd=0.01 (5σ — deterministic, HLL++ is seed-free).
+    df = spark.range(0, 40_000, 1, 8).select(
+        F.lit("g").alias("source"),
+        F.concat(F.lit("tok"), F.pmod("id", F.lit(20_000))).alias("text"),
+    )
+    row = cardinality_profile(df, group_col="source").collect()[0]
+    assert row.n_docs == 40_000 and row.n_tokens == 40_000
+    assert abs(row.approx_distinct_tokens - 20_000) / 20_000 < 0.05
