@@ -215,25 +215,35 @@ def _covered_positions(
     (AQE still picks broadcast at small scale). Covered positions dedup
     on (doc_id, pos) — fixed width. A hash collision can only over-count
     coverage (conservative direction for a removal/filter).
+
+    The dup-detection branch dedups gram hashes ROW-LOCALLY
+    (array_distinct before the explode): each doc emits each gram hash
+    once, so document frequency is a plain count(*) — no
+    count_distinct(doc_id), which would carry (gh, doc_id) pairs through
+    the exchange. That halves the widest exchange (8-byte gh + partial
+    count vs gh + doc_id) and drops the distinct-aggregate phase; the
+    position-bearing explode below exists only on the join-back side.
     """
     # project the token array ONCE (CollapseProject would re-embed the
     # tokenizing regexp at every gram position otherwise — the q41/q45
     # lesson, 20.7 s → 2.8 s at sf0.1)
     t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    grams = t.filter(F.size("_t") >= n).select(
+    gram_arr = t.filter(F.size("_t") >= n).select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_t") - n),
-                lambda i: F.xxhash64(
-                    F.concat_ws(" ", *[F.get(F.col("_t"), i + j) for j in range(n)])
-                ),
-            )
-        ).alias("gpos", "gh"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - n),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", *[F.get(F.col("_t"), i + j) for j in range(n)])
+            ),
+        ).alias("_gh"),
+    )
+    grams = gram_arr.select(
+        F.col(id_col), F.posexplode("_gh").alias("gpos", "gh")
     )
     dup = (
-        grams.groupBy("gh")
-        .agg(F.count_distinct(id_col).alias("nd"))
+        gram_arr.select(F.explode(F.array_distinct("_gh")).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("gh")
     )
