@@ -228,20 +228,30 @@ def _covered_positions(
     # tokenizing regexp at every gram position otherwise — the q41/q45
     # lesson, 20.7 s → 2.8 s at sf0.1)
     t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    gram_arr = t.filter(F.size("_t") >= n).select(
-        F.col(id_col),
-        F.transform(
+
+    # the gram-hash array expression is applied DIRECTLY over the `_t`
+    # projection in each branch (never through an intermediate projected
+    # alias): an extra Project(_gh = transform(_t)) layer gets merged by
+    # CollapseProject, inlining `_t` — i.e. the tokenizing regexp — into
+    # every per-position F.get, which re-runs regexp_extract_all ~n_grams
+    # × n times per document (measured: a 300k-doc profile that runs in
+    # ~26 s regressed past 400 s). The Project(_t) → Filter → Generate
+    # shape below is the one the q41/q45 fix established as collapse-safe.
+    def gram_hashes():
+        return F.transform(
             F.sequence(F.lit(0), F.size("_t") - n),
             lambda i: F.xxhash64(
                 F.concat_ws(" ", *[F.get(F.col("_t"), i + j) for j in range(n)])
             ),
-        ).alias("_gh"),
-    )
-    grams = gram_arr.select(
-        F.col(id_col), F.posexplode("_gh").alias("gpos", "gh")
+        )
+
+    grams = t.filter(F.size("_t") >= n).select(
+        F.col(id_col),
+        F.posexplode(gram_hashes()).alias("gpos", "gh"),
     )
     dup = (
-        gram_arr.select(F.explode(F.array_distinct("_gh")).alias("gh"))
+        t.filter(F.size("_t") >= n)
+        .select(F.explode(F.array_distinct(gram_hashes())).alias("gh"))
         .groupBy("gh")
         .agg(F.count("*").alias("nd"))
         .filter(F.col("nd") >= min_docs)
