@@ -287,15 +287,31 @@ def q15_minhash_pairs(spark, sf):
 def q16_simhash_pairs(spark, sf):
     """SimHash near-dup pairs via 8×8-bit banding (guaranteed capture of
     Hamming<=7), exact-Jaccard-verified — same oracle as q15, so the two
-    independent sketches cross-validate against one exact ground truth."""
+    independent sketches cross-validate against one exact ground truth.
+
+    r6: the banded candidate set is Hamming-close but mostly NOT Jaccard-
+    close on a template corpus (measured sf1.0: 1.60M candidates, 9.6k
+    with full-sig est >= 0.35, 2.5k truly >= 0.5) — running the exact
+    char-gram verify on all of them shipped two corpus-wide gram-array
+    relations and was ~60 s of the 72 s wall. The q15 cascade applies
+    verbatim: a full-minhash-signature precision gate 2.4σ under the
+    decision threshold (recall-safe, see sig_jaccard_refine) prunes the
+    chance collisions for the price of one signature pass + two narrow
+    joins; the exact verify still decides every emitted pair."""
     from politics_crawler_spark.operators.dedup import (
         exact_jaccard_verify,
+        minhash_signatures,
+        sig_jaccard_refine,
         simhash_pairs,
     )
 
     d = _t(spark, sf, "documents")
     cands = simhash_pairs(d, max_hamming=7, bands=8)
-    return exact_jaccard_verify(cands, d, k=5, threshold=0.5).orderBy("id_a", "id_b")
+    # persisted: consumed by both sig_jaccard_refine joins (q15 pattern;
+    # bench.py's between-queries clearCache bounds the accumulation)
+    msigs = minhash_signatures(d).persist()
+    ref = sig_jaccard_refine(cands, msigs, min_est=0.35)
+    return exact_jaccard_verify(ref, d, k=5, threshold=0.5).orderBy("id_a", "id_b")
 
 
 _ANN_GT_ROWS: list | None = None

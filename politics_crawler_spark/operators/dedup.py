@@ -476,17 +476,33 @@ def hamming_band_pairs(sigs: DataFrame, sig_col: str = "sim",
                 F.col(f"l.{sig_col}").bitwiseXOR(F.col(f"r.{sig_col}"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # Hamming gate BEFORE the pair dedup: hamming is a pure function of
+        # the pair (both sides' sigs), so filter∘distinct ≡ distinct∘filter —
+        # but the band join emits ~N²·bands/2^width chance-collision rows
+        # (almost all far beyond max_hamming), and filtering first means the
+        # dropDuplicates exchange carries only true near-dup pairs instead of
+        # the entire collision stream (guide §2.3; measured at sf1.0/50k docs:
+        # the dedup exchange was the whole q16 wall).
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, bands: int = 4) -> DataFrame:
-    """Near-dup pairs by simhash 64-bit banding (see hamming_band_pairs)."""
+    """Near-dup pairs by simhash 64-bit banding (see hamming_band_pairs).
+
+    The signature table is localCheckpointed before the banded self-join:
+    both join sides read the same materialized (id, 8-byte sig) rows, so
+    the text scan + signature UDF run ONCE instead of once per side
+    (measured ~3.5 s/side at sf1.0/50k docs). 16 B/row at any corpus
+    size; blocks are freed by the ContextCleaner when the plan dies
+    (same lifetime argument as q15's localCheckpoint — not a persist, so
+    later bench trials cannot be served a plan-matched cached result)."""
     udf = make_simhash_udf()
     src = _parallelize_input(df.select(id_col, text_col), id_col)
     sigs = src.select(id_col, udf(F.col(text_col)).alias("sim"))
+    sigs = sigs.localCheckpoint(eager=True)
     return hamming_band_pairs(sigs, "sim", id_col, max_hamming, bands)
 
 
