@@ -205,9 +205,11 @@ def ccnet_bucket(bits_col: Column, head: float, middle: float) -> Column:
 def _covered_positions(
     df: DataFrame, n: int, min_docs: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """Distinct (doc_id, p) token positions covered by at least one n-gram
-    occurring in ≥ min_docs DISTINCT documents — the shared core of
-    dup_ngram_coverage (measure) and drop_dup_ngram_spans (transform).
+    """Per-document sorted array ``_cov`` of the distinct token positions
+    covered by at least one n-gram occurring in ≥ min_docs DISTINCT
+    documents — the shared core of dup_ngram_coverage (measure) and
+    drop_dup_ngram_spans (transform). Docs with no covered position are
+    absent (consumers left-join and coalesce).
 
     Grams are keyed by xxhash64 (8-byte exchange keys; the gram strings
     never shuffle); the duplicated-gram set is joined back by SHUFFLE
@@ -245,27 +247,57 @@ def _covered_positions(
             ),
         )
 
-    grams = t.filter(F.size("_t") >= n).select(
+    # ONE gram-hash pass shared by both branches (r6): the detection branch
+    # and the position branch each re-ran tokenize + 14.5M concat+xxhash64
+    # at sf1.0 (~3 s/pass). localCheckpoint materializes the (id, gram-hash
+    # array) rows once — ~8 B per corpus token in block storage (spills to
+    # disk), traded against a full second tokenize+hash scan; blocks are
+    # freed by the ContextCleaner when the plan dies. The gram expression
+    # is still applied directly over the Project(_t) → Filter shape (the
+    # collapse-safe form — see the CollapseProject note above).
+    ga = (
+        t.filter(F.size("_t") >= n)
+        .select(F.col(id_col), gram_hashes().alias("_g"))
+        .localCheckpoint(eager=True)
+    )
+    grams = ga.select(
         F.col(id_col),
-        F.posexplode(gram_hashes()).alias("gpos", "gh"),
+        F.posexplode("_g").alias("gpos", "gh"),
     )
     dup = (
-        t.filter(F.size("_t") >= n)
-        .select(F.explode(F.array_distinct(gram_hashes())).alias("gh"))
+        ga.select(F.explode(F.array_distinct("_g")).alias("gh"))
         .groupBy("gh")
         .agg(F.count("*").alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("gh")
     )
+    # Per-doc covered-position ARRAY instead of exploded (doc_id, p) rows
+    # (r6, guide §2.3/§2.4): the gram→position expansion is n× and the old
+    # `.distinct()` shuffled every expanded row, then a SECOND doc-keyed
+    # exchange aggregated them. One collect_set keyed by doc_id carries the
+    # un-expanded (doc_id, gpos) matches — 1/n the rows, partial-agg deduped
+    # map-side — and the expansion to covered positions (sequence → flatten
+    # → array_distinct, sorted) is row-local. Per-doc state is bounded by
+    # the doc's gram count, i.e. by document length — safe at any corpus
+    # size. Consumers get (doc_id, _cov sorted int array); only docs with
+    # ≥1 covered position appear.
     return (
         grams.join(dup, "gh")
+        .groupBy(id_col)
+        .agg(F.collect_set("gpos").alias("_gp"))
         .select(
             F.col(id_col),
-            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))).alias(
-                "p"
-            ),
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.col("_gp"),
+                            lambda g: F.sequence(g, g + (n - 1)),
+                        )
+                    )
+                )
+            ).alias("_cov"),
         )
-        .distinct()
     )
 
 
@@ -284,10 +316,8 @@ def dup_ngram_coverage(
     Plan shape: see _covered_positions; the per-doc rollup adds one more
     fixed-width (doc_id)-keyed exchange.
     """
-    covered = (
-        _covered_positions(df, n, min_docs, id_col, text_col)
-        .groupBy(id_col)
-        .agg(F.count("*").cast("long").alias("n_covered"))
+    covered = _covered_positions(df, n, min_docs, id_col, text_col).select(
+        F.col(id_col), F.size("_cov").cast("long").alias("n_covered")
     )
     base = df.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
@@ -324,37 +354,36 @@ def drop_dup_ngram_spans(
     Returns (doc_id, n_tokens, n_kept, text_clean) for EVERY input doc;
     a fully-duplicated doc survives with n_kept=0 and text_clean=''.
 
-    Plan shape: covered positions come from _covered_positions (fixed
-    width exchanges throughout); surviving tokens are selected by a
-    left_anti join on (doc_id, pos) and rebuilt with ONE (doc_id)-keyed
-    aggregation carrying each kept token exactly once — the same
-    unavoidable rebuild shuffle as the line-dedup rebuild
-    (operators/curation.py::drop_boilerplate_lines).
+    Plan shape (r6, guide §2.3/§8): covered positions arrive as the
+    per-doc `_cov` array from _covered_positions (fixed-width exchanges
+    throughout), and the rebuild is ROW-LOCAL — one doc-keyed left join
+    attaches `_cov` to the tokenized scan, surviving tokens are selected
+    by an index-aware array filter, and concat_ws rebuilds the text in
+    place. The old shape posexploded every token and funnelled each kept
+    token STRING through a (doc_id)-keyed collect_list rebuild exchange;
+    now the token text never leaves its scan stage and the only exchanges
+    are the dup-gram count and the (doc_id, gpos) covered-set aggregate.
+    n_kept = n_tokens − |_cov| exactly, because _cov ⊆ [0, n_tokens).
     """
     cov = _covered_positions(df, n, min_docs, id_col, text_col)
     t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    posr = t.filter(F.size("_t") > 0).select(
-        F.col(id_col), F.posexplode("_t").alias("p", "tok")
+    kept_arr = F.when(F.col("_cov").isNull(), F.col("_t")).otherwise(
+        F.filter(
+            F.col("_t"),
+            lambda tok, i: ~F.array_contains(F.col("_cov"), i),
+        )
     )
-    kept = posr.join(cov, [id_col, "p"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("text_clean"),
-    )
-    base = df.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
-    )
-    return base.join(rebuilt, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    return t.join(cov, id_col, "left").select(
+        F.col(id_col),
+        F.size("_t").cast("long").alias("n_tokens"),
+        # greatest(…, 0): size(null array) is -1, and the old posexplode
+        # path reported n_kept=0 for null-text docs — keep that exact value
+        F.greatest(
+            F.size("_t") - F.coalesce(F.size("_cov"), F.lit(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_kept"),
+        F.concat_ws(" ", kept_arr).alias("text_clean"),
     )
 
 
