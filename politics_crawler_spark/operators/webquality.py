@@ -90,6 +90,30 @@ def bigram_array(toks: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array — i.e. the multiplicity of the array's most frequent value —
+    via one row-local aggregate() sweep (0 for an empty array). Used to
+    compute a per-document mode without exploding the array into a
+    corpus-wide aggregation."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(
+            acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["best"])
+
+
 def repetition_profile(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -97,38 +121,38 @@ def repetition_profile(
     (id, n_words, dup_word_frac, mean_word_len, top_bigram_frac).
 
     top_bigram_frac = count of the most frequent adjacent bigram / number
-    of bigrams (n_words − 1); 0 for docs with < 2 tokens. The bigram mode
-    needs a per-document frequency table — two narrow aggregations
-    ((doc_id, bigram) → doc_id, both fixed-width keys with map-side
-    partial aggregation); the array stats ride the same scan shuffle-free.
+    of bigrams (n_words − 1); 0 for docs with < 2 tokens.
+
+    The bigram mode is ROW-LOCAL (r6): the most frequent value of a
+    per-document array is the longest run of its sorted form, computed by
+    one array_sort + one aggregate() sweep inside the scan stage. The old
+    shape exploded every bigram and ran two corpus-wide aggregations
+    ((doc_id, bigram) → doc_id) — both exchanges gone (guide §2.4); the
+    whole profile is now a single shuffle-free projection. Per-doc cost is
+    O(b log b) string comparisons, bounded by document length.
     """
     t = tokens(F.col(text_col))
     base = df.select(F.col(id_col), t.alias("_t"))
+    # _topc behind its own projection so the aggregate() sweep is evaluated
+    # once, not once per reference in the ratio below (CollapseProject
+    # refuses to duplicate a non-cheap expression referenced twice)
     stats = base.select(
         id_col,
         F.size("_t").cast("long").alias("n_words"),
         F.round(dup_word_fraction(F.col("_t")), 6).alias("dup_word_frac"),
         F.round(mean_word_length(F.col("_t")), 6).alias("mean_word_len"),
+        _max_run_length(F.array_sort(bigram_array(F.col("_t")))).alias("_topc"),
     )
-    bg = base.filter(F.size("_t") >= 2).select(
-        id_col, F.explode(bigram_array(F.col("_t"))).alias("bg")
-    )
-    top = (
-        bg.groupBy(id_col, "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("top_c"))
-    )
-    return stats.join(top, on=id_col, how="left").select(
+    return stats.select(
         id_col,
         "n_words",
         "dup_word_frac",
         "mean_word_len",
         F.round(
-            F.coalesce(
-                F.col("top_c") / (F.col("n_words") - 1).cast("double"),
-                F.lit(0.0),
-            ),
+            F.when(
+                F.col("_topc") > 0,
+                F.col("_topc") / (F.col("n_words") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("top_bigram_frac"),
     )
@@ -271,11 +295,18 @@ def ngram_freq(
     """Corpus-wide n-gram frequency table (the classic training-data
     statistic: vocabulary/boilerplate discovery): (ngram, n_docs, total).
 
-    One aggregation keyed by the n-gram string; map-side partial
-    aggregation collapses each partition's duplicates before the exchange,
-    and hot n-grams (Zipf head) are exactly the rows partial-agg compresses
-    hardest. count_distinct(doc) makes the exchange carry (ngram, doc_id)
-    partials — still two fixed-width-ish columns, never the text.
+    Two n-gram-keyed aggregations (r6), both with map-side partial
+    aggregation collapsing each partition's duplicates to the (bounded,
+    Zipf-headed) vocabulary before the exchange: `total` is a plain
+    count over all occurrences, and `n_docs` is a plain count over
+    ROW-LOCALLY deduped per-doc grams (array_distinct before the
+    explode) — each doc emits each gram once, so document frequency
+    needs no count_distinct. The old single aggregation's
+    count_distinct(doc_id) shipped every (ngram, doc_id) pair through
+    the exchange undeduped — ~14.5M rows at sf1.0 vs ~2×vocab×partitions
+    now — plus the two-phase distinct-aggregate split (the same lesson
+    as the r5 q47 rework). The final n_docs⋈total join is on the
+    vocabulary table, negligible at any corpus size.
 
     The token array is projected into a column BEFORE the bigram
     transform: composing ``tokens(text)`` directly into the lambda
@@ -292,12 +323,18 @@ def ngram_freq(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        base.select(F.col("doc_id"), F.explode(grams).alias("ngram"))
+    total = (
+        base.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
-        .agg(
-            F.count_distinct("doc_id").cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("total"),
-        )
+        .agg(F.count("*").cast("long").alias("total"))
+    )
+    n_docs = (
+        base.select(F.explode(F.array_distinct(grams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return (
+        n_docs.join(total, "ngram")
         .filter(F.col("total") >= min_count)
+        .select("ngram", "n_docs", "total")
     )
