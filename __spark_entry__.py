@@ -272,6 +272,10 @@ def q15_minhash_pairs(spark, sf):
     # sigs are DERIVED operator work (the vectorized minhash kernel is
     # what this query benchmarks) — per-trial persist is intentional, and
     # bench.py's between-queries clearCache bounds the accumulation.
+    # r6 note: fusing the refine est into the collision stage (to skip
+    # the pair-dedup exchange) measured ~3× SLOWER — the codegen-fallback
+    # HOF est de-codegens the whole fused stage; see
+    # dedup._sig_agreement_est for the recorded negative result.
     sigs = minhash_signatures(d).persist()
     cands = lsh_candidate_pairs(sigs, est_threshold=0.0)
     ref = sig_jaccard_refine(cands, sigs, min_est=0.35)

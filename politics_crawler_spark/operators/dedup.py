@@ -259,6 +259,36 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _sig_agreement_est(sig_a, sig_b):
+    """Full-signature agreement fraction via zip_with + aggregate.
+
+    TWO NEGATIVE RESULTS, kept for the record (r6, guide §1 "measure,
+    don't assume"):
+    - Unrolling the 64-term positional comparison into explicit
+      get()+equality+Add codegen expressions measured ~7× SLOWER on the
+      19M-row collision stream (q15 11.4 s → 83 s): the 64-deep
+      expression tree drops out of efficient whole-stage codegen and
+      evaluates as an interpreted Add chain with per-element boxing,
+      while the higher-order zip_with/aggregate runs one tight loop over
+      primitive array data.
+    - FUSING this estimate into the banded-collision stage (est-filter
+      the raw 19M collisions before any pair exchange, dedup the ~271k
+      survivors after — on paper removing a ~430 MB exchange) measured
+      ~3× slower end-to-end (q15 → 28-48 s): the HOF est is a
+      codegen-fallback expression, and placing it in the same stage as
+      the band join + two sig join probes forces THAT WHOLE STAGE off
+      the codegen path. The two-stage shape (pair-dedup exchange first,
+      est in its own light post-exchange stage) is the fast one.
+    """
+    a = F.col(sig_a) if isinstance(sig_a, str) else sig_a
+    b = F.col(sig_b) if isinstance(sig_b, str) else sig_b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size(a)
+
+
 def sig_jaccard_refine(pairs: DataFrame, sigs: DataFrame,
                        id_col: str = "doc_id",
                        min_est: float = 0.35) -> DataFrame:
@@ -288,11 +318,7 @@ def sig_jaccard_refine(pairs: DataFrame, sigs: DataFrame,
         sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
         on="id_b",
     )
-    est = F.aggregate(
-        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.size(F.col("sig_a"))
+    est = _sig_agreement_est("sig_a", "sig_b")
     return (
         withsigs.select("id_a", "id_b", est.alias("_est"))
         .filter(F.col("_est") >= min_est)
@@ -320,15 +346,37 @@ def connected_min_reps(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     """
     from pyspark.sql import Observation
 
-    edges = pairs.select("id_a", "id_b")
+    # Checkpoint the EDGES before reversing them: the undirected union
+    # consumes `pairs` twice (forward + reversed branch), and checkpointing
+    # only the union executed the entire upstream pair pipeline (sketch →
+    # refine → exact verify) TWICE inside one job — measured at sf1.0/50k
+    # docs as most of q33's 17 s gap over q15, which runs the identical
+    # cascade once (guide §2.4: a duplicated subtree is a removable pass;
+    # r6). The edge set is tiny (near-dup pairs), so the extra checkpoint
+    # costs nothing and the reversal is a row-local projection over it.
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    # SCALE-ADAPTIVE parallelism for the iteration jobs (guide §2, r6):
+    # the edge set is orders of magnitude smaller than the corpus (it is
+    # the verified near-dup pair list), but each iteration inherited the
+    # session's shuffle width — 3 stages × 32 tasks of fixed scheduling
+    # cost per iteration, measured ~1.2 s/iteration on a ~2.7k-edge graph
+    # (7.5 s of q33's wall was pure task/stage latency). Partition count
+    # is derived from the MATERIALIZED edge count (the checkpoint makes
+    # this count a metadata-cheap job), one partition per ~100k edges,
+    # capped at the session default — at 100 TB edge volumes this is the
+    # full cluster width, locally it is 1-2 tasks per stage.
+    sc = pairs.sparkSession.sparkContext
+    n_edges = edges.count()
+    parts = max(1, min(sc.defaultParallelism, (n_edges // 100_000) + 1))
     und = edges.unionByName(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    und = und.localCheckpoint(eager=True)  # reused every iteration
+    und = und.repartition(parts, "id_b").localCheckpoint(eager=True)
     labels = (
         und.groupBy(F.col("id_a").alias("node"))
         .agg(F.min("id_b").alias("min_n"))
         .select("node", F.least("node", "min_n").alias("rep"))
+        .repartition(parts, "node")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):

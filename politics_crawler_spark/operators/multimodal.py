@@ -101,15 +101,18 @@ def parse_image_header(payload: bytes | None) -> tuple[str, int, int] | None:
 
 def _byte_histogram(payload: bytes, bins: int = 8) -> list[float]:
     """Normalized byte-value histogram — a real (byte-level) descriptor
-    computable without any media library."""
+    computable without any media library. One numpy bincount instead of a
+    per-byte Python loop (guide §4.2: vectorize inside the UDF) — value
+    identical: same integer counts, same float64 division, same half-even
+    rounding."""
     if not payload:
         return [0.0] * bins
-    counts = [0] * bins
-    step = 256 // bins
-    for b in payload:
-        counts[b // step] += 1
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    counts = np.bincount(arr // (256 // bins), minlength=bins)
     n = float(len(payload))
-    return [round(c / n, 6) for c in counts]
+    return [round(float(c) / n, 6) for c in counts]
 
 
 def _decode_image(payload: bytes, deterministic_fake: bool):
@@ -140,32 +143,35 @@ def extract_media_features(df: DataFrame, deterministic_fake: bool = True) -> Da
     """mapInPandas media feature extraction — batch-shaped like production
     (one Arrow batch of payloads in, one slim feature frame out)."""
 
+    cols = list(FEATURES.fieldNames())
+
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = r["payload"]
+            # zip over columns, not iterrows: iterrows materializes a pandas
+            # Series PER ROW (~100 µs each — it WAS the q40 wall: ~5 s for
+            # 50k rows before any decode work; guide §4.2). Row semantics
+            # unchanged — same decode, same values, same row order.
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
                 try:
-                    if r["kind"] == "image":
+                    if kind == "image":
                         w, h, feat = _decode_image(payload, deterministic_fake)
                         rows.append(
-                            dict(media_id=r["media_id"], kind=r["kind"],
-                                 n_bytes=len(payload or b""), width=w, height=h,
-                                 feature=feat, status="ok")
+                            (media_id, kind, len(payload or b""), w, h,
+                             feat, "ok")
                         )
                     else:  # audio/video: byte-level metadata only (stub)
                         rows.append(
-                            dict(media_id=r["media_id"], kind=r["kind"],
-                                 n_bytes=len(payload or b""), width=None,
-                                 height=None, feature=None, status="stub")
+                            (media_id, kind, len(payload or b""), None,
+                             None, None, "stub")
                         )
                 except NotImplementedError:
                     rows.append(
-                        dict(media_id=r["media_id"], kind=r["kind"],
-                             n_bytes=None, width=None, height=None,
-                             feature=None, status="no_decoder")
+                        (media_id, kind, None, None, None, None, "no_decoder")
                     )
-            yield pd.DataFrame(rows, columns=list(FEATURES.fieldNames()))
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(_run, schema=FEATURES)
 

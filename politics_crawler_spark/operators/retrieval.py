@@ -73,8 +73,6 @@ def bm25_topk(
         .select("query_id", F.explode(tokens(F.col("query_text"))).alias("term"))
         .distinct()
     )
-    # distinct terms across all queries: the corpus-side filter set
-    terms = qterms.select("term").distinct()
 
     toks = corpus.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
@@ -85,12 +83,48 @@ def bm25_topk(
         F.count("*").alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
     )
 
-    # postings, filtered to query terms BEFORE the (doc_id, term) shuffle
+    # Postings computed ROW-LOCALLY against the literal query-term list
+    # (r6, guide §2.3/§2.4): `queries` is a small in-memory list by this
+    # function's contract, so the distinct term set is known on the driver
+    # — per document, tf of each query term is one array scan inside the
+    # scan stage, and only (doc_id, term, tf, dl) rows with tf > 0 are
+    # emitted. The old shape exploded EVERY corpus token (~54×N rows),
+    # broadcast-joined the term filter, then paid a (doc_id, term)-keyed
+    # aggregation exchange for tf; all of that is now shuffle-free scan
+    # work, identical output (tf = occurrence count, same inner-join
+    # semantics: tf=0 pairs never existed). At 100 TB the same plan holds:
+    # per-doc cost is |terms| array scans, no corpus-wide exchange at all
+    # before the bounded per-query top-k.
+    # tf per term = size(t) − size(array_remove(t, term)): ArrayRemove is a
+    # plain codegen expression — NOT a higher-order function, whose
+    # per-element interpreted lambdas measured several× slower than the
+    # exploded original here.
+    import re as _re
+
+    term_list = sorted({
+        m for _, qtext in queries for m in _re.findall(r"\w+", qtext)
+    })
+    t = F.col("t")
+    structs = [
+        F.struct(
+            F.lit(term).alias("term"),
+            (F.size(t) - F.size(F.array_remove(t, term)))
+            .cast("long")
+            .alias("tf"),
+        )
+        for term in term_list
+    ]
     postings = (
-        toks.select("doc_id", F.size("t").alias("dl"), F.explode("t").alias("term"))
-        .join(F.broadcast(terms), "term")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        toks.select(
+            "doc_id",
+            F.size(t).alias("dl"),
+            F.explode(F.array(*structs)).alias("_p"),
+        )
+        .filter(F.col("_p.tf") > 0)
+        .select(
+            "doc_id", F.col("_p.term").alias("term"),
+            F.col("_p.tf").alias("tf"), "dl",
+        )
     )
 
     # df/idf per query term: aggregate of the filtered postings (bounded
