@@ -80,24 +80,51 @@ def _contamination_hits(
     text_col: str,
 ) -> DataFrame:
     """(id, n_contam_grams) for train docs with ≥1 eval n-gram — the
-    shared core of decontaminate_profile and contaminated_ids."""
-    # tokenize behind a projection boundary FIRST: ngram_set references its
-    # input once per gram position, and CollapseProject would otherwise
-    # re-embed (and re-run) the tokenizing regexp_extract_all at every one
-    # of those references — measured best-trial 20.7 s → 2.8 s at sf0.1
-    # (same fix as webquality.bigram_array)
+    shared core of decontaminate_profile and contaminated_ids.
+
+    Grams are keyed by MULTI-ARG xxhash64 over the n token slots (r6):
+    the old shape materialized every n-gram as a concat_ws STRING
+    (~50 B each), ran array_distinct's pairwise equality on those
+    strings, and hash-joined on them — measured as the bulk of the q41
+    wall (the row-local gram build was ~2.6 s of 5.3 s at sf1.0). The
+    multi-arg hash consumes the token values directly (no concatenated
+    string is ever allocated), per-doc dedup compares 8-byte longs, and
+    the broadcast join builds a long-keyed relation (the q47 lesson:
+    8-byte keys, gram strings never leave the row). A 64-bit collision
+    can only ADD a counted gram — conservative for a contamination
+    filter — with corpus-wide probability ~|train grams|·|eval grams|
+    / 2^64 (≈1e-7 here).
+
+    The gram-hash transform is applied DIRECTLY over the Project(_t)
+    shape (never through an intermediate projected alias): an extra
+    Project layer gets merged by CollapseProject, inlining the tokenizing
+    regexp into every per-position F.get — re-measured this round at
+    300+ s for the aliased shape vs 3.5 s (the q41/q45/q47 lesson).
+    """
+
+    def gram_hashes(t):
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.xxhash64(*[F.get(t, i + j) for j in range(n)]),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
     eg = (
         evalset.select(tokens(F.col(text_col)).alias("_t"))
-        .select(F.explode(ngram_set(F.col("_t"), n)).alias("gram"))
+        .select(F.explode(gram_hashes(F.col("_t"))).alias("gh"))
         .distinct()
     )
     tg = train.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_t")
-    ).select(F.col(id_col), F.explode(ngram_set(F.col("_t"), n)).alias("gram"))
-    # per-doc grams are distinct already (array_distinct) ⇒ count(*) after
-    # the semi-ish inner join counts distinct matched grams
+    ).select(F.col(id_col), F.explode(gram_hashes(F.col("_t"))).alias("gh"))
+    # per-doc gram hashes are distinct already (array_distinct) ⇒ count(*)
+    # after the semi-ish inner join counts distinct matched grams
     return (
-        tg.join(F.broadcast(eg), "gram")
+        tg.join(F.broadcast(eg), "gh")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contam_grams"))
     )
@@ -301,6 +328,17 @@ def token_budget_shards(
         (F.col(id_col) - F.col(id_col) % bucket_docs).alias("_bucket"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
+    # Materialize the (id, bucket, n_tokens) projection ONCE (r6): both the
+    # subtotal branch and the final join consume `base`, and without a cut
+    # the ENTIRE upstream pipeline executes twice — harmless when df is a
+    # bare scan (q44), but the q45 composition feeds this operator the full
+    # c4→mixture→decontaminate plan, and its second execution was ~2.4 s of
+    # the 9.4 s wall at sf1.0 (guide §2.4: duplicated subtree). The
+    # materialized rows are fixed-width (24 B/doc — 10^10 docs ≈ 240 GB of
+    # cluster block storage, orders cheaper than re-running a curation
+    # pipeline over the corpus); blocks are freed by the ContextCleaner
+    # when the plan dies.
+    base = base.localCheckpoint(eager=True)
     subtotals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bt"))
     w_buckets = (
         Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)

@@ -95,9 +95,10 @@ def _max_run_length(sorted_arr: Column) -> Column:
     array — i.e. the multiplicity of the array's most frequent value —
     via one row-local aggregate() sweep (0 for an empty array). Used to
     compute a per-document mode without exploding the array into a
-    corpus-wide aggregation."""
+    corpus-wide aggregation. Operates on bigint arrays (callers hash
+    non-integer values first — r6)."""
     acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
+        F.lit(None).cast("bigint").alias("prev"),
         F.lit(0).alias("run"),
         F.lit(0).alias("best"),
     )
@@ -128,11 +129,37 @@ def repetition_profile(
     one array_sort + one aggregate() sweep inside the scan stage. The old
     shape exploded every bigram and ran two corpus-wide aggregations
     ((doc_id, bigram) → doc_id) — both exchanges gone (guide §2.4); the
-    whole profile is now a single shuffle-free projection. Per-doc cost is
-    O(b log b) string comparisons, bounded by document length.
+    whole profile is now a single shuffle-free projection.
+
+    Per-doc work trimmed further (r6b, measured 3.7 s → target ~2.5 s at
+    sf1.0/50k docs):
+    - the sorted-run sweep operates on 8-byte xxhash64(bigram) longs
+      instead of concat_ws strings — the run-length count (all this
+      profile needs — never the winning bigram itself) is unchanged
+      unless two DISTINCT bigrams of ONE document collide in 64 bits
+      (P ≈ b²/2^64 per doc — and such a collision would only merge runs
+      of the SORTED hash array, i.e. conservatively raise the repetition
+      signal);
+    - mean word length sums token lengths as length(concat_ws('', t)) —
+      one codegen concat instead of an interpreted aggregate() lambda per
+      token (sum of lengths ≡ length of concatenation, exactly).
     """
     t = tokens(F.col(text_col))
     base = df.select(F.col(id_col), t.alias("_t"))
+    bigram_hashes = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("_t")) - 2),
+            lambda i: F.xxhash64(
+                F.get(F.col("_t"), i), F.get(F.col("_t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    mean_len = F.when(
+        F.size(F.col("_t")) > 0,
+        F.length(F.concat_ws("", F.col("_t"))).cast("double")
+        / F.size(F.col("_t")),
+    ).otherwise(F.lit(0.0))
     # _topc behind its own projection so the aggregate() sweep is evaluated
     # once, not once per reference in the ratio below (CollapseProject
     # refuses to duplicate a non-cheap expression referenced twice)
@@ -140,8 +167,8 @@ def repetition_profile(
         id_col,
         F.size("_t").cast("long").alias("n_words"),
         F.round(dup_word_fraction(F.col("_t")), 6).alias("dup_word_frac"),
-        F.round(mean_word_length(F.col("_t")), 6).alias("mean_word_len"),
-        _max_run_length(F.array_sort(bigram_array(F.col("_t")))).alias("_topc"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        _max_run_length(F.array_sort(bigram_hashes)).alias("_topc"),
     )
     return stats.select(
         id_col,
