@@ -17,22 +17,18 @@ from pyspark.sql.functions import pandas_udf
 from ..parsers import sites
 from ..schemas import EXTRACT_RESULT
 
+_EXTRACT_COLS = list(EXTRACT_RESULT.fieldNames())
+
+
 @pandas_udf(EXTRACT_RESULT)
 def extract_udf(site: pd.Series, html: pd.Series, url: pd.Series) -> pd.DataFrame:
-    rows = []
-    for s, h, u in zip(site, html, url):
-        r = sites.extract(s, h, u)
-        rows.append(
-            {
-                "content": r.content,
-                "images": r.images,
-                "recommend_raw": r.recommend,
-                "actual_date": r.actual_date,
-                "status": r.status,
-                "post_id_rec": r.post_id,
-            }
-        )
-    return pd.DataFrame(rows, columns=list(EXTRACT_RESULT.fieldNames()))
+    # tuple rows, not per-row dicts: same values in schema order, without
+    # 6 hash inserts + a dict alloc per page (r6 — the q40 lesson)
+    rows = [
+        (r.content, r.images, r.recommend, r.actual_date, r.status, r.post_id)
+        for r in (sites.extract(s, h, u) for s, h, u in zip(site, html, url))
+    ]
+    return pd.DataFrame(rows, columns=_EXTRACT_COLS)
 
 
 def site_expr(host: Column) -> Column:
