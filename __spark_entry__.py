@@ -303,18 +303,25 @@ def q16_simhash_pairs(spark, sf):
     chance collisions for the price of one signature pass + two narrow
     joins; the exact verify still decides every emitted pair."""
     from politics_crawler_spark.operators.dedup import (
+        both_sketches,
         exact_jaccard_verify,
-        minhash_signatures,
+        hamming_band_pairs,
         sig_jaccard_refine,
-        simhash_pairs,
     )
 
     d = _t(spark, sf, "documents")
-    cands = simhash_pairs(d, max_hamming=7, bands=8)
-    # persisted: consumed by both sig_jaccard_refine joins (q15 pattern;
-    # bench.py's between-queries clearCache bounds the accumulation)
-    msigs = minhash_signatures(d).persist()
-    ref = sig_jaccard_refine(cands, msigs, min_est=0.35)
+    # ONE sketch pass (r6): the simhash (banding) and the 64-perm minhash
+    # signature (precision refine) come from the same mapInPandas pass, so
+    # the text is scanned and FNV-shingle-hashed once instead of once per
+    # sketch (~3.5 s/pass at sf1.0/50k docs). The localCheckpointed
+    # (id, sim, sig) table feeds the banded self-join's two sides AND both
+    # refine joins — kernels/seeds identical to the separate UDFs, so
+    # every downstream row is byte-identical.
+    sk = both_sketches(d).localCheckpoint(eager=True)
+    cands = hamming_band_pairs(
+        sk.select("doc_id", "sim"), "sim", "doc_id", max_hamming=7, bands=8
+    )
+    ref = sig_jaccard_refine(cands, sk.select("doc_id", "sig"), min_est=0.35)
     return exact_jaccard_verify(ref, d, k=5, threshold=0.5).orderBy("id_a", "id_b")
 
 

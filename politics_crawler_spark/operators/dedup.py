@@ -132,6 +132,77 @@ def _parallelize_input(df: DataFrame, id_col: str) -> DataFrame:
     return df
 
 
+def _minhash_kernel(h, starts, counts, a, b, num_perm: int) -> np.ndarray:
+    """Vectorized minhash over pre-hashed shingles (shared by the minhash
+    UDF and the combined-sketch UDF — r6)."""
+    n_docs = len(counts)
+    sigs = np.zeros((n_docs, num_perm), dtype=np.int64)  # empty doc → [0]*p
+    nz = np.nonzero(counts)[0]
+    # chunk the (perm × shingle) matrix by whole docs so each
+    # minimum.reduceat segment stays contiguous within its chunk
+    lo = 0
+    while lo < len(nz):
+        hi = lo
+        tot = 0
+        while hi < len(nz) and (tot == 0 or tot + counts[nz[hi]] <= _MINHASH_CHUNK_SHINGLES):
+            tot += counts[nz[hi]]
+            hi += 1
+        docs = nz[lo:hi]
+        seg_starts = np.zeros(len(docs), dtype=np.int64)
+        np.cumsum(counts[docs][:-1], out=seg_starts[1:])
+        gather = np.repeat(starts[docs] - seg_starts, counts[docs]) + np.arange(
+            int(tot), dtype=np.int64
+        )
+        sh = h[gather]
+        # (a*x + b) mod mersenne61 (mul wraps mod 2^64, same as the
+        # per-doc path), min per doc-segment per permutation. The mod
+        # uses the Mersenne fold — y ≡ (y >> 61) + (y & M) (mod 2^61-1)
+        # with one conditional subtract — instead of uint64 division,
+        # which costs ~10× more per element and dominated the UDF.
+        vals = sh[None, :] * a[:, None]
+        vals += b[:, None]
+        hi61 = vals >> np.uint64(61)
+        vals &= _MERS
+        vals += hi61
+        vals[vals >= _MERS] -= _MERS
+        mins = np.minimum.reduceat(vals, seg_starts, axis=1)
+        sigs[docs] = mins.T.astype(np.int64)
+        lo = hi
+    return sigs
+
+
+def _simhash_kernel(h, counts) -> np.ndarray:
+    """Vectorized 64-bit simhash over pre-hashed shingles (shared by the
+    simhash UDF and the combined-sketch UDF — r6)."""
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.int64)  # empty doc → 0
+    nz = np.nonzero(counts)[0]
+    if len(nz):
+        # segment-wise np.unique: simhash votes are per DISTINCT
+        # shingle (the per-doc path hashed np.unique output). Sort by
+        # (doc, hash) in one lexsort, then mask first-occurrences.
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((h, doc_of))
+        hs, ds = h[order], doc_of[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
+        hu, du = hs[first], ds[first]
+        u_counts = np.bincount(du, minlength=n_docs)[nz]
+        u_starts = np.searchsorted(du, nz)
+        # per-bit +1/-1 votes: 64 reduceat sums over the packed
+        # unique-hash array — vectorized across every doc in the batch
+        val = np.zeros(len(nz), dtype=np.uint64)
+        for i in range(64):
+            ones = np.add.reduceat(
+                ((hu >> np.uint64(i)) & np.uint64(1)).astype(np.int64),
+                u_starts,
+            )
+            score = ones * 2 - u_counts
+            val |= (score > 0).astype(np.uint64) << np.uint64(i)
+        out[nz] = val.astype(np.int64)
+    return out
+
+
 def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
@@ -140,42 +211,48 @@ def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash_udf(texts: pd.Series) -> pd.Series:
         h, starts, counts = _batch_shingle_hashes(texts, shingle_k)
-        n_docs = len(counts)
-        sigs = np.zeros((n_docs, num_perm), dtype=np.int64)  # empty doc → [0]*p
-        nz = np.nonzero(counts)[0]
-        # chunk the (perm × shingle) matrix by whole docs so each
-        # minimum.reduceat segment stays contiguous within its chunk
-        lo = 0
-        while lo < len(nz):
-            hi = lo
-            tot = 0
-            while hi < len(nz) and (tot == 0 or tot + counts[nz[hi]] <= _MINHASH_CHUNK_SHINGLES):
-                tot += counts[nz[hi]]
-                hi += 1
-            docs = nz[lo:hi]
-            seg_starts = np.zeros(len(docs), dtype=np.int64)
-            np.cumsum(counts[docs][:-1], out=seg_starts[1:])
-            gather = np.repeat(starts[docs] - seg_starts, counts[docs]) + np.arange(
-                int(tot), dtype=np.int64
-            )
-            sh = h[gather]
-            # (a*x + b) mod mersenne61 (mul wraps mod 2^64, same as the
-            # per-doc path), min per doc-segment per permutation. The mod
-            # uses the Mersenne fold — y ≡ (y >> 61) + (y & M) (mod 2^61-1)
-            # with one conditional subtract — instead of uint64 division,
-            # which costs ~10× more per element and dominated the UDF.
-            vals = sh[None, :] * a[:, None]
-            vals += b[:, None]
-            hi61 = vals >> np.uint64(61)
-            vals &= _MERS
-            vals += hi61
-            vals[vals >= _MERS] -= _MERS
-            mins = np.minimum.reduceat(vals, seg_starts, axis=1)
-            sigs[docs] = mins.T.astype(np.int64)
-            lo = hi
-        return pd.Series(list(sigs))
+        return pd.Series(list(_minhash_kernel(h, starts, counts, a, b, num_perm)))
 
     return minhash_udf
+
+
+def both_sketches(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  num_perm: int = 64, shingle_k: int = 5,
+                  seed: int = 7) -> DataFrame:
+    """(id, sim, sig): BOTH sketches — 64-bit simhash + num_perm-slot
+    minhash — from ONE shingle-hash pass over each Arrow batch (r6): q16
+    needs the simhash for banding and the minhash signature for the
+    precision refine, and computing them with separate UDFs scanned and
+    FNV-hashed every text twice. Kernels and seeds are shared with
+    make_minhash_udf / make_simhash_udf, so the outputs are bit-identical
+    to running the two UDFs separately.
+
+    Shape note (r6, measured): this is mapInPandas with FLAT output
+    columns, not a struct-returning pandas_udf — the pandas→Arrow
+    conversion of a struct column embedding an array<long> measured ~20×
+    slower than the same data as a top-level list column (98.7 s vs ~5 s
+    for the 50k-doc sketch pass)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+
+    def _run(batches):
+        for pdf in batches:
+            h, starts, counts = _batch_shingle_hashes(pdf[text_col], shingle_k)
+            sim = _simhash_kernel(h, counts)
+            sigs = _minhash_kernel(h, starts, counts, a, b, num_perm)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sim": pd.Series(sim, index=pdf.index, dtype="int64"),
+                    "sig": pd.Series(list(sigs), index=pdf.index),
+                }
+            )
+
+    src = _parallelize_input(df.select(id_col, text_col), id_col)
+    return src.mapInPandas(
+        _run, schema=f"{id_col} long, sim long, sig array<long>"
+    )
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -454,34 +531,8 @@ def minhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def make_simhash_udf(shingle_k: int = 5):
     @pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
-        h, starts, counts = _batch_shingle_hashes(texts, shingle_k)
-        n_docs = len(counts)
-        out = np.zeros(n_docs, dtype=np.int64)  # empty doc → 0
-        nz = np.nonzero(counts)[0]
-        if len(nz):
-            # segment-wise np.unique: simhash votes are per DISTINCT
-            # shingle (the per-doc path hashed np.unique output). Sort by
-            # (doc, hash) in one lexsort, then mask first-occurrences.
-            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-            order = np.lexsort((h, doc_of))
-            hs, ds = h[order], doc_of[order]
-            first = np.ones(len(hs), dtype=bool)
-            first[1:] = (hs[1:] != hs[:-1]) | (ds[1:] != ds[:-1])
-            hu, du = hs[first], ds[first]
-            u_counts = np.bincount(du, minlength=n_docs)[nz]
-            u_starts = np.searchsorted(du, nz)
-            # per-bit +1/-1 votes: 64 reduceat sums over the packed
-            # unique-hash array — vectorized across every doc in the batch
-            val = np.zeros(len(nz), dtype=np.uint64)
-            for i in range(64):
-                ones = np.add.reduceat(
-                    ((hu >> np.uint64(i)) & np.uint64(1)).astype(np.int64),
-                    u_starts,
-                )
-                score = ones * 2 - u_counts
-                val |= (score > 0).astype(np.uint64) << np.uint64(i)
-            out[nz] = val.astype(np.int64)
-        return pd.Series(out, dtype="int64")
+        h, _starts, counts = _batch_shingle_hashes(texts, shingle_k)
+        return pd.Series(_simhash_kernel(h, counts), dtype="int64")
 
     return simhash_udf
 
