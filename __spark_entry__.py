@@ -1076,6 +1076,13 @@ def q51_cardinality_contract(spark, sf):
     from politics_crawler_spark.operators.retrieval import cardinality_profile
 
     d = _t(spark, sf, "documents")
+    # r6 negative result: folding the grading-only exact distinct into the
+    # sketch aggregation (one tokenize pass, count_distinct alongside
+    # approx_count_distinct) measured SLOWER (3.4 s vs 2.2 s interleaved
+    # at sf1.0) — the mixed-distinct aggregation plans an Expand that
+    # doubles the exploded token stream through the partial aggregates,
+    # which costs more than the second lightweight scan it saves. The
+    # two-scan shape stands.
     prof = cardinality_profile(d, group_col="source", relative_sd=0.01)
     exact = (
         d.select("source", F.explode(F.regexp_extract_all("text", F.lit(r"\w+"), 0)).alias("tok"))
